@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The environment pre-imports jax (axon sitecustomize with
+JAX_PLATFORMS=axon targeting the remote TPU), so plain env-var defaults
+are not enough: update the already-imported jax config before any backend
+is initialized. Tests never touch TPU hardware; multi-chip sharding is
+exercised on the virtual CPU mesh.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
