@@ -1,0 +1,204 @@
+"""Scenario-evidence API smoke + behavioral tests (offline, small N)."""
+
+import numpy as np
+import jax
+import pytest
+
+from triceratops_tpu.scenarios import api
+from fixtures import make_transit_lightcurve, make_trilegal_csv
+
+N = 4000
+NS = 2  # supersampling kept small for test speed
+RES_KEYS = {"M_s", "R_s", "u1", "u2", "P_orb", "inc", "b", "R_p", "ecc",
+            "argp", "M_EB", "R_EB", "fluxratio_EB", "fluxratio_comp", "lnZ"}
+
+STAR = dict(M_s=1.0, R_s=1.0, Teff=5800.0, Z=0.0)
+
+
+@pytest.fixture(scope="module")
+def lc():
+    return make_transit_lightcurve(n_t=80, sigma=5e-4)
+
+
+@pytest.fixture(scope="module")
+def trilegal(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tri") / "trilegal.csv"
+    return make_trilegal_csv(p, Tmag_target=10.0)
+
+
+def _check_res(res):
+    assert RES_KEYS <= set(res.keys())
+    for k in RES_KEYS - {"lnZ"}:
+        assert np.asarray(res[k]).shape == (100,), k
+    assert np.isfinite(res["lnZ"]) or res["lnZ"] == -np.inf
+
+
+class TestPlanetScenarios:
+    def test_ttp(self, lc):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=N, nsamples=NS,
+                          key=jax.random.key(0))
+        _check_res(res)
+        assert np.isfinite(res["lnZ"])
+        # best-fit R_p should be near the injected 10 Rearth
+        assert 5.0 < res["R_p"][0] < 16.0
+
+    def test_ttp_deterministic(self, lc):
+        time, flux, sigma, _ = lc
+        r1 = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=N, nsamples=NS,
+                         key=jax.random.key(7))
+        r2 = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=N, nsamples=NS,
+                         key=jax.random.key(7))
+        assert r1["lnZ"] == r2["lnZ"]
+
+    def test_ttp_period_range(self, lc):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_TTP(time, flux, sigma, [2.0, 4.0], **STAR, N=N,
+                          nsamples=NS, key=jax.random.key(1))
+        _check_res(res)
+        assert 2.0 <= res["P_orb"].min() and res["P_orb"].max() <= 4.0
+
+    def test_ptp(self, lc):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_PTP(time, flux, sigma, 3.0, **STAR, plx=20.0, N=N,
+                          nsamples=NS, key=jax.random.key(2))
+        _check_res(res)
+
+    def test_stp(self, lc):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_STP(time, flux, sigma, 3.0, **STAR, plx=20.0, N=N,
+                          nsamples=NS, key=jax.random.key(3))
+        _check_res(res)
+
+    def test_ntp_evolved(self, lc):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_NTP_evolved(time, flux, sigma, 3.0, R_s=2.0,
+                                  Teff=5000.0, Z=0.0, N=N, nsamples=NS,
+                                  key=jax.random.key(4))
+        _check_res(res)
+
+
+class TestEBScenarios:
+    def test_teb(self, lc):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_TEB(time, flux, sigma, 3.0, **STAR, N=N,
+                                    nsamples=NS, key=jax.random.key(5))
+        _check_res(res)
+        _check_res(res_twin)
+        assert np.allclose(res_twin["P_orb"], 2 * res_twin["P_orb"] / 2)
+
+    def test_peb(self, lc):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_PEB(time, flux, sigma, 3.0, **STAR, plx=20.0,
+                                    N=N, nsamples=NS, key=jax.random.key(6))
+        _check_res(res)
+        _check_res(res_twin)
+
+    def test_seb(self, lc):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_SEB(time, flux, sigma, 3.0, **STAR, plx=20.0,
+                                    N=N, nsamples=NS, key=jax.random.key(7))
+        _check_res(res)
+        _check_res(res_twin)
+
+    def test_neb_evolved(self, lc):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_NEB_evolved(time, flux, sigma, 3.0, R_s=2.0,
+                                            Teff=5000.0, Z=0.0, N=N,
+                                            nsamples=NS,
+                                            key=jax.random.key(8))
+        _check_res(res)
+        _check_res(res_twin)
+        assert np.allclose(res_twin["R_EB"], 2.0)
+
+
+class TestBackgroundScenarios:
+    def test_dtp(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_DTP(time, flux, sigma, 3.0, **STAR, Tmag=10.0,
+                          Jmag=9.3, Hmag=9.1, Kmag=9.0,
+                          trilegal_fname=trilegal, N=N, nsamples=NS,
+                          key=jax.random.key(9))
+        _check_res(res)
+
+    def test_deb(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_DEB(time, flux, sigma, 3.0, **STAR,
+                                    Tmag=10.0, Jmag=9.3, Hmag=9.1, Kmag=9.0,
+                                    trilegal_fname=trilegal, N=N,
+                                    nsamples=NS, key=jax.random.key(10))
+        _check_res(res)
+        _check_res(res_twin)
+
+    def test_btp(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_BTP(time, flux, sigma, 3.0, M_s=1.0, R_s=1.0,
+                          Teff=5800.0, Tmag=10.0, Jmag=9.3, Hmag=9.1,
+                          Kmag=9.0, trilegal_fname=trilegal, N=N,
+                          nsamples=NS, key=jax.random.key(11))
+        _check_res(res)
+
+    def test_beb(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_BEB(time, flux, sigma, 3.0, M_s=1.0,
+                                    R_s=1.0, Teff=5800.0, Tmag=10.0,
+                                    Jmag=9.3, Hmag=9.1, Kmag=9.0,
+                                    trilegal_fname=trilegal, N=N,
+                                    nsamples=NS, key=jax.random.key(12))
+        _check_res(res)
+        _check_res(res_twin)
+
+    def test_ntp_unknown(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res = api.lnZ_NTP_unknown(time, flux, sigma, 3.0, Tmag=10.0,
+                                  trilegal_fname=trilegal, N=N, nsamples=NS,
+                                  key=jax.random.key(13))
+        _check_res(res)
+
+    def test_neb_unknown(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        res, res_twin = api.lnZ_NEB_unknown(time, flux, sigma, 3.0,
+                                            Tmag=10.0,
+                                            trilegal_fname=trilegal, N=N,
+                                            nsamples=NS,
+                                            key=jax.random.key(14))
+        _check_res(res)
+        _check_res(res_twin)
+
+    def test_ntp_unknown_empty_population(self, lc, trilegal):
+        time, flux, sigma, _ = lc
+        # no stars within Tmag +/- 1 of a very bright target
+        res = api.lnZ_NTP_unknown(time, flux, sigma, 3.0, Tmag=-5.0,
+                                  trilegal_fname=trilegal, N=N, nsamples=NS)
+        assert res["lnZ"] == -np.inf
+        assert "b" not in res  # reference quirk (ml.py:2452-2468)
+        res2 = api.lnZ_NEB_unknown(time, flux, sigma, 3.0, Tmag=-5.0,
+                                   trilegal_fname=trilegal, N=N, nsamples=NS)
+        assert res2["lnZ"] == -np.inf and "b" in res2
+
+
+class TestBehavior:
+    def test_planet_beats_eb_for_planet_signal(self, lc):
+        """A clean 10 Rearth transit: TP evidence should exceed the EB
+        evidence (the EB secondary veto and radius priors punish EBs)."""
+        time, flux, sigma, _ = lc
+        r_tp = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=20000,
+                           nsamples=NS, key=jax.random.key(20))
+        r_eb, _ = api.lnZ_TEB(time, flux, sigma, 3.0, **STAR, N=20000,
+                              nsamples=NS, key=jax.random.key(21))
+        assert r_tp["lnZ"] > r_eb["lnZ"]
+
+    def test_contrast_curve_suppresses_companions(self, lc, tmp_path):
+        """A deep contrast curve shrinks the bound-companion prior, so
+        PTP evidence must drop relative to the unconstrained case."""
+        time, flux, sigma, _ = lc
+        cc = tmp_path / "cc.csv"
+        seps = np.linspace(0.1, 2.0, 20)
+        cons = np.full(20, 9.0)  # very deep: companions ruled out
+        np.savetxt(cc, np.c_[seps, cons], delimiter=",")
+        r_free = api.lnZ_PTP(time, flux, sigma, 3.0, **STAR, plx=20.0,
+                             N=20000, nsamples=NS, key=jax.random.key(22))
+        r_cc = api.lnZ_PTP(time, flux, sigma, 3.0, **STAR, plx=20.0,
+                           contrast_curve_file=str(cc), filt="K",
+                           N=20000, nsamples=NS, key=jax.random.key(22))
+        assert r_cc["lnZ"] <= r_free["lnZ"] + 0.5

@@ -1,0 +1,180 @@
+"""Chunked transit/eclipse likelihood cores (the hot path).
+
+Each core evaluates, for N Monte-Carlo draws at once, the model light
+curve on the supersampled time grid, applies flux-dilution algebra, and
+accumulates chi^2 against the observed light curve — all inside one jitted
+program, blocked over the draw axis so memory stays O(chunk x n_ss)
+(SURVEY.md section 5.7: block the draw axis, accumulate chi^2 on the fly).
+
+Numerical design: the model is carried as a *deficit* from unity, so the
+residual (flux_obs - model) = obs_dev + g * deficit is formed without
+catastrophic cancellation in float32 (obs_dev = flux_obs - 1 is
+precomputed on host in f64). Dilution chains collapse to a single
+multiplier g:
+
+    TP   (ref likelihoods.py:58-79):  flux = (f + Fd)/(1 + Fd)
+         => deficit_total = D / (1 + Fd),           g = 1/(1+Fd)
+    EB   (ref likelihoods.py:115-160): two chained dilutions
+         => g_pri = 1/((1+x1)(1+x2)); secondary depth uses
+            g_sec = 1/((1+y1)(1+y2)) on the fixed 25-point grid
+            linspace(-0.05, 0.05, 25) with w+180 deg and k -> 1/k.
+
+The secondary-eclipse veto (reject draw when diluted secondary depth >=
+1.5 sigma, ref likelihoods.py:535-538) is applied as a mask (excluded
+draws keep zero weight but count in the N_total denominator).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.kepler import projected_z
+from .occult import occult_quad_deficit
+
+# Fixed secondary-eclipse scan grid (reference likelihoods.py:135, :421)
+SEC_GRID = np.linspace(-0.05, 0.05, 25)
+
+LN2PI = float(np.log(2.0 * np.pi))
+
+
+def supersample_times(time: np.ndarray, exptime: float, nsamples: int) -> np.ndarray:
+    """Supersampled exposure grid, (n_t * nsamples,) host array.
+
+    Each exposure of length ``exptime`` is sampled at ``nsamples``
+    midpoints (PyTransit-style exposure-time integration,
+    ref likelihoods.py:61)."""
+    time = np.asarray(time, dtype=np.float64)
+    if nsamples <= 1:
+        return time
+    offs = exptime * ((np.arange(nsamples) + 0.5) / nsamples - 0.5)
+    return (time[:, None] + offs[None, :]).reshape(-1)
+
+
+def _pad_chunk(arrs, N, chunk):
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    out = []
+    for a in arrs:
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        out.append(a.reshape((n_chunks, chunk) + a.shape[1:]))
+    return out
+
+
+def _mean_deficit(t_ss, k, P, a_R, inc, e, w, u1, u2, n_t, ns):
+    """Per-draw mean-over-supersamples deficit curve, (chunk, n_t)."""
+    z, front = projected_z(
+        t_ss[None, :], 0.0, P[:, None], a_R[:, None],
+        inc[:, None], e[:, None], w[:, None],
+    )
+    D = occult_quad_deficit(k[:, None], z, u1[:, None], u2[:, None])
+    D = jnp.where(front, D, 0.0)
+    if ns > 1:
+        D = D.reshape(D.shape[0], n_t, ns).mean(axis=2)
+    return D
+
+
+@partial(jax.jit, static_argnames=("n_t", "ns", "chunk"))
+def lnL_planet(t_ss, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
+               *, n_t: int, ns: int, chunk: int = 4096):
+    """Transiting-planet family log-likelihoods for N draws.
+
+    Returns lnL (N,) = -0.5 ln 2pi - ln sigma - 0.5 chi^2 for masked-in
+    draws, -inf otherwise (reference marginal_likelihoods.py:117-137)."""
+    N = k.shape[0]
+    inv_sig2 = 1.0 / (sigma * sigma)
+    ln_sigma = jnp.log(sigma)
+    (k_, P_, aR_, inc_, e_, w_, u1_, u2_, g_, m_) = _pad_chunk(
+        [k, P, a_R, inc, e, w, u1, u2, g, mask], N, chunk)
+
+    def body(args):
+        kc, Pc, ac, ic, ec, wc, u1c, u2c, gc, mc = args
+        D = _mean_deficit(t_ss, kc, Pc, ac, ic, ec, wc, u1c, u2c, n_t, ns)
+        resid = obs_dev[None, :] + gc[:, None] * D
+        chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
+        lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
+        return jnp.where(mc, lnL, -jnp.inf)
+
+    lnL = jax.lax.map(body, (k_, P_, aR_, inc_, e_, w_, u1_, u2_, g_, m_))
+    return lnL.reshape(-1)[:N]
+
+
+@partial(jax.jit, static_argnames=("n_t", "ns", "chunk", "apply_veto"))
+def lnL_eb(t_ss, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
+           g_pri, g_sec, mask, *, n_t: int, ns: int, chunk: int = 4096,
+           apply_veto: bool = True):
+    """Eclipsing-binary family log-likelihoods for N draws.
+
+    k is the (already quirk-adjusted) primary radius ratio, ksec the
+    secondary ratio. When apply_veto, draws whose diluted secondary depth
+    >= 1.5 sigma are excluded (ref likelihoods.py:535-538); the twin
+    branch passes apply_veto=False (ref likelihoods.py:542-587)."""
+    N = k.shape[0]
+    inv_sig2 = 1.0 / (sigma * sigma)
+    ln_sigma = jnp.log(sigma)
+    sec_grid = jnp.asarray(SEC_GRID, dtype=t_ss.dtype)
+    (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_, gp_, gs_, m_) = _pad_chunk(
+        [k, ksec, P, a_R, inc, e, w, u1, u2, g_pri, g_sec, mask], N, chunk)
+
+    def body(args):
+        kc, ksc, Pc, ac, ic, ec, wc, u1c, u2c, gpc, gsc, mc = args
+        D = _mean_deficit(t_ss, kc, Pc, ac, ic, ec, wc, u1c, u2c, n_t, ns)
+        resid = obs_dev[None, :] + gpc[:, None] * D
+        chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
+        lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
+        if apply_veto:
+            # secondary eclipse scan: w + 180 deg, k -> ksec, no supersampling
+            zs, fronts = projected_z(
+                sec_grid[None, :], 0.0, Pc[:, None], ac[:, None],
+                ic[:, None], ec[:, None], wc[:, None] + jnp.pi,
+            )
+            Ds = occult_quad_deficit(ksc[:, None], zs, u1c[:, None], u2c[:, None])
+            Ds = jnp.where(fronts, Ds, 0.0)
+            secdepth = gsc * jnp.max(Ds, axis=1)
+            mc = mc & (secdepth < 1.5 * sigma)
+        return jnp.where(mc, lnL, -jnp.inf)
+
+    lnL = jax.lax.map(body, (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_, gp_, gs_, m_))
+    return lnL.reshape(-1)[:N]
+
+
+def eb_radius_ratios(radii, R_host):
+    """Primary/secondary radius ratios with the reference's batch-path
+    near-unity adjustment: all k < 1 + 1e-6 scaled by 0.999
+    (reference likelihoods.py:405-406, :417-418; the serial path only
+    adjusts |k-1| < 1e-6 — we standardize on the batch behavior, which is
+    what produced the published numbers)."""
+    k = radii / R_host
+    k = jnp.where((k - 1.0) < 1e-6, k * 0.999, k)
+    ksec = R_host / radii
+    ksec = jnp.where((ksec - 1.0) < 1e-6, ksec * 0.999, ksec)
+    return k, ksec
+
+
+def tp_dilution(F_comp, companion_is_host: bool):
+    """Deficit multiplier g for the TP dilution chain
+    (reference likelihoods.py:352-357)."""
+    if companion_is_host:
+        return 1.0 / (1.0 + 1.0 / F_comp)
+    return 1.0 / (1.0 + F_comp)
+
+
+def eb_dilution(F_EB, F_comp, companion_is_host: bool):
+    """(g_pri, g_sec) deficit multipliers for the EB dilution chains
+    (reference likelihoods.py:427-438)."""
+    if companion_is_host:
+        x1 = F_EB / F_comp
+        x2 = 1.0 / (F_comp + F_EB)
+        y1 = F_comp / F_EB
+    else:
+        x1 = F_EB
+        x2 = F_comp / (1.0 + F_EB)
+        y1 = 1.0 / F_EB
+    g_pri = 1.0 / ((1.0 + x1) * (1.0 + x2))
+    g_sec = 1.0 / ((1.0 + y1) * (1.0 + x2))
+    return g_pri, g_sec

@@ -71,6 +71,8 @@ def _ppoly_arrays(name: str):
 
 def ppoly_eval_jnp(x, breaks, coefs):
     """Evaluate a scipy PPoly (breaks (n,), coefs (k, n-1)) with jnp."""
+    breaks = jnp.asarray(breaks)
+    coefs = jnp.asarray(coefs)
     idx = jnp.clip(jnp.searchsorted(breaks, x, side="right") - 1,
                    0, breaks.shape[0] - 2)
     dx = x - breaks[idx]
@@ -81,12 +83,16 @@ def ppoly_eval_jnp(x, breaks, coefs):
 
 
 class SplineDevice:
-    """Device-resident piecewise cubic for one named relation."""
+    """Piecewise cubic for one named relation, jit-safe.
 
-    def __init__(self, name: str, dtype=jnp.float32):
+    Breakpoints/coefficients are held as host numpy arrays and embedded as
+    constants at trace time (creating jnp arrays lazily inside a jit trace
+    would leak tracers through the lru_cache)."""
+
+    def __init__(self, name: str, dtype=np.float32):
         breaks, coefs = _ppoly_arrays(name)
-        self.breaks = jnp.asarray(breaks, dtype=dtype)
-        self.coefs = jnp.asarray(coefs, dtype=dtype)
+        self.breaks = np.asarray(breaks, dtype=dtype)
+        self.coefs = np.asarray(coefs, dtype=dtype)
 
     def __call__(self, x):
         return ppoly_eval_jnp(x, self.breaks, self.coefs)

@@ -1,0 +1,680 @@
+"""Scenario Monte-Carlo marginalization engine (device-side).
+
+Shared machinery behind the 14 public ``lnZ_*`` scenario functions
+(scenarios/api.py). Per scenario the flow is three jitted dispatches that
+keep all N-draw arrays on device:
+
+  1. a per-scenario sampler (this module): threefry-keyed uniform draws ->
+     inverse-CDF priors -> Kepler-III geometry -> transit-probability /
+     collision / population masks (static shapes; where-masking instead of
+     the reference's boolean compaction, SURVEY.md section 7 "hard parts"),
+  2. the chunked likelihood core (ops/lightcurve.py),
+  3. ``finalize``: masked log-mean-exp evidence + top-100 best-fit gather
+     (reference marginal_likelihoods.py:152-172).
+
+The reference's per-draw quantities and masks are reproduced exactly
+(file:line citations at each step); RNG is keyed (not a global stream) so
+only distributional equivalence holds, as required by SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import G, MSUN, RSUN, REARTH, PI
+from ..core.numerics import log_mean_exp_jax
+from ..priors.samplers import (
+    sample_rp, sample_inc, sample_ecc, sample_w, sample_q, sample_q_companion,
+)
+from ..priors.companion import (
+    lnprior_bound_TP, lnprior_bound_EB, lnprior_background,
+    clamp_companion_prior,
+)
+from ..populations.stellar import stellar_relations, flux_relation
+from ..populations.ldc import round_index_comp
+from ..ops.lightcurve import (
+    lnL_planet, lnL_eb, eb_radius_ratios, tp_dilution, eb_dilution,
+    supersample_times,
+)
+
+F32 = jnp.float32
+N_SAMPLES = 100  # top-k best-fit draws kept (reference ml.py:152)
+
+
+# ---------------------------------------------------------------------------
+# Shared draw/geometry helpers (jnp, called inside jitted samplers)
+# ---------------------------------------------------------------------------
+
+def _uniforms(key, n_streams, N):
+    keys = jax.random.split(key, n_streams)
+    return [jax.random.uniform(k, (N,), dtype=F32) for k in keys]
+
+
+def _draw_P(u, P_lo, P_hi):
+    return P_lo + u * (P_hi - P_lo)
+
+
+def _semimajor(P_days, M_tot_msun):
+    """Kepler III semimajor axis [cm] (reference ml.py:75)."""
+    return ((G * M_tot_msun * MSUN) / (4 * PI**2) * (P_days * 86400.0) ** 2) ** (1.0 / 3.0)
+
+
+def _geometry(P, M_tot, R_host_rsun, R_occ_cm, eccs, argps_deg, incs_deg):
+    """a, Ptra, b, coll, transit mask (reference ml.py:107-123)."""
+    a = _semimajor(P, M_tot)
+    sin_argp = jnp.sin(argps_deg * PI / 180.0)
+    e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
+    R_host_cm = R_host_rsun * RSUN
+    Ptra = (R_occ_cm + R_host_cm) / a * e_corr
+    r = a * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
+    b = r * jnp.cos(incs_deg * PI / 180.0) / R_host_cm
+    coll = (R_occ_cm + R_host_cm) > a * (1.0 - eccs)
+    # reference: inc_min = 90 unless Ptra <= 1, so Ptra > 1 never transits
+    # (ml.py:120-123); incs >= arccos(Ptra) <=> cos(incs) <= Ptra
+    transits = (Ptra <= 1.0) & (jnp.cos(incs_deg * PI / 180.0) <= Ptra)
+    return a, Ptra, b, coll, transits
+
+
+def _kernel_angles(incs_deg, argps_deg):
+    """(inc_rad, w_rad) with the reference's w = (90 - argp) deg convention
+    (reference likelihoods.py:70, :345)."""
+    return incs_deg * (PI / 180.0), (90.0 - argps_deg) * (PI / 180.0)
+
+
+def _fluxratio_vs_target(masses, M_s, filt="TESS"):
+    """F_star / (F_star + F_target) in the given band (ref ml.py:248-251)."""
+    f = flux_relation(masses, filt, xp=jnp)
+    ft = flux_relation(jnp.asarray([M_s], dtype=masses.dtype), filt, xp=jnp)
+    return f / (f + ft)
+
+
+def _companion_prior_bound(kind, M_s, plx, masses_comp, fluxratios_comp,
+                           cc_filt, seps, cons):
+    """Shared bound-companion prior block for P*/S* scenarios
+    (reference ml.py:478-509, :695-727, :974-1002, :1198-1237).
+
+    kind: 'TP' or 'EB'. When cc_filt is None the TESS-band flux ratios
+    define delta_mag and (seps, cons) = ([2.2], [1.0]); otherwise the
+    contrast-curve filter band is used. Returns (lnprior, delta_mags)."""
+    if cc_filt is None:
+        fr = fluxratios_comp
+    else:
+        fr = _fluxratio_vs_target(masses_comp, M_s, cc_filt)
+    delta_mags = 2.5 * jnp.log10(fr / (1.0 - fr))
+    fn = lnprior_bound_TP if kind == "TP" else lnprior_bound_EB
+    lnp = fn(M_s, plx, jnp.abs(delta_mags), seps, cons)
+    return clamp_companion_prior(lnp, delta_mags)
+
+
+def _background_prior(has_cc, N_comp, fluxratios_draw, delta_band_draw,
+                      seps, cons, extra_fluxratio=None):
+    """Background-star prior block for D*/B* scenarios
+    (reference ml.py:1466-1492, :1929-1955, :2184-2209).
+
+    Without a contrast curve: constant ln((N_comp/0.1)(1/3600)^2 2.2^2)
+    with delta_mag from the TESS-band flux ratio (+ EB term for BEB).
+    With one: per-draw band delta-mags -> lnprior_background."""
+    if not has_cc:
+        fr_tot = fluxratios_draw / (1.0 - fluxratios_draw)
+        if extra_fluxratio is not None:
+            fr_tot = fr_tot + extra_fluxratio / (1.0 - extra_fluxratio)
+        delta_mags = 2.5 * jnp.log10(fr_tot)
+        lnp = jnp.full_like(delta_mags,
+                            np.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
+    else:
+        delta_mags = delta_band_draw
+        lnp = lnprior_background(N_comp, jnp.abs(delta_mags), seps, cons)
+    return clamp_companion_prior(lnp, delta_mags)
+
+
+# ---------------------------------------------------------------------------
+# Finalize: evidence + top-k best fits
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("N",))
+def finalize(lnL, lnprior, gather_arrays, *, N: int):
+    """lnZ = log_mean_exp(lnL + lnprior) over all N draws; top-100 draws
+    ranked by lnL alone (reference ml.py:152-154)."""
+    lnZ = log_mean_exp_jax(lnL + lnprior, N)
+    k = min(N_SAMPLES, N)
+    _, idx = jax.lax.top_k(lnL, k)
+    gathered = tuple(jnp.take(a, idx) for a in gather_arrays)
+    return lnZ, gathered
+
+
+def run_finalize(lnL, lnprior, gather: dict):
+    names = list(gather.keys())
+    lnZ, vals = finalize(lnL, lnprior, tuple(gather[n] for n in names),
+                         N=lnL.shape[0])
+    out = {n: np.asarray(v) for n, v in zip(names, vals)}
+    return float(lnZ), out
+
+
+# ---------------------------------------------------------------------------
+# Samplers (jitted per scenario family)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("N", "flatpriors"))
+def sample_planet_target(key, P_lo, P_hi, M_s, R_s, *, N, flatpriors):
+    """Draws for TTP / NTP / NTP_evolved-style scenarios: planet around a
+    star with fixed properties (reference ml.py:100-123)."""
+    u = _uniforms(key, 5, N)
+    P = _draw_P(u[0], P_lo, P_hi)
+    rps = sample_rp(u[1], jnp.full((N,), M_s, F32), flatpriors)
+    incs = sample_inc(u[2])
+    eccs = sample_ecc(u[3], True, jnp.mean(P))
+    argps = sample_w(u[4])
+    a, Ptra, b, coll, transits = _geometry(
+        P, M_s, R_s, rps * REARTH, eccs, argps, incs)
+    mask = transits & ~coll
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    k = rps * REARTH / (R_s * RSUN)
+    return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
+                mask=mask, inc_rad=inc_rad, w_rad=w_rad, k=k,
+                a_R=a / (R_s * RSUN))
+
+
+@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt"))
+def sample_ptp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
+               *, N, flatpriors, use_molusc, cc_filt):
+    """PTP: planet around target + unresolved bound companion
+    (reference ml.py:386-586)."""
+    u = _uniforms(key, 6, N)
+    if use_molusc:
+        qs_comp = qs_comp_in
+    else:
+        qs_comp = sample_q_companion(u[5], M_s)
+    masses_comp = qs_comp * M_s
+    _radii_comp, _teffs_comp = stellar_relations(
+        masses_comp, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
+    if use_molusc:
+        lnprior = jnp.zeros((N,), F32)
+    else:
+        lnprior = _companion_prior_bound(
+            "TP", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
+    P = _draw_P(u[0], P_lo, P_hi)
+    rps = sample_rp(u[1], jnp.full((N,), M_s, F32), flatpriors)
+    incs = sample_inc(u[2])
+    eccs = sample_ecc(u[3], True, jnp.mean(P))
+    argps = sample_w(u[4])
+    a, Ptra, b, coll, transits = _geometry(
+        P, M_s, R_s, rps * REARTH, eccs, argps, incs)
+    mask = transits & ~coll & (qs_comp != 0.0)
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
+    g = tp_dilution(F_comp, companion_is_host=False)
+    return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
+                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                k=rps * REARTH / (R_s * RSUN), a_R=a / (R_s * RSUN),
+                g=g, lnprior=lnprior, fluxratios_comp=fluxratios_comp)
+
+
+@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt"))
+def sample_stp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
+               u1_tab, u2_tab, seps, cons, *, N, flatpriors, use_molusc,
+               cc_filt):
+    """STP: planet around the unresolved bound companion; per-draw LDC via
+    clamped rounding on the nearest-Z grid slice (reference ml.py:869-1077,
+    LDC rounding :961-972)."""
+    u = _uniforms(key, 6, N)
+    if use_molusc:
+        qs_comp = qs_comp_in
+    else:
+        qs_comp = sample_q_companion(u[5], M_s)
+    masses_comp = qs_comp * M_s
+    radii_comp, teffs_comp = stellar_relations(
+        masses_comp, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    loggs_comp = jnp.log10(G * (masses_comp * MSUN) /
+                           jnp.maximum(radii_comp * RSUN, 1.0) ** 2)
+    fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
+    i_logg, i_teff = round_index_comp(loggs_comp, teffs_comp,
+                                      u1_tab.shape[1], xp=jnp)
+    u1s = u1_tab[i_logg, i_teff]
+    u2s = u2_tab[i_logg, i_teff]
+    if use_molusc:
+        lnprior = jnp.zeros((N,), F32)
+    else:
+        lnprior = _companion_prior_bound(
+            "TP", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
+    P = _draw_P(u[0], P_lo, P_hi)
+    rps = sample_rp(u[1], masses_comp, flatpriors)
+    incs = sample_inc(u[2])
+    eccs = sample_ecc(u[3], True, jnp.mean(P))
+    argps = sample_w(u[4])
+    a, Ptra, b, coll, transits = _geometry(
+        P, masses_comp, radii_comp, rps * REARTH, eccs, argps, incs)
+    mask = transits & ~coll & (qs_comp != 0.0)
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
+    g = tp_dilution(F_comp, companion_is_host=True)
+    return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
+                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                k=rps * REARTH / (radii_comp * RSUN),
+                a_R=a / (radii_comp * RSUN), g=g, lnprior=lnprior,
+                fluxratios_comp=fluxratios_comp, masses_comp=masses_comp,
+                radii_comp=radii_comp, u1s=u1s, u2s=u2s)
+
+
+@partial(jax.jit, static_argnames=("N", "flatpriors", "has_cc", "host_is_bg"))
+def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
+                             *, N, flatpriors, has_cc, host_is_bg):
+    """DTP (host_is_bg=False) and BTP (host_is_bg=True): planet around the
+    target diluted by a TRILEGAL background star, or around the background
+    star itself (reference ml.py:1379-1568 DTP, :1840-2035 BTP).
+
+    bg: dict of per-background-star device arrays (fluxratios, band delta
+    mags, masses, radii, loggs, teffs, u1s, u2s). The draw index quirk is
+    preserved: DTP uses randint high = N_comp - 1 (exclusive -> last star
+    never drawn, ml.py:1463), BTP uses high = N_comp (ml.py:1926)."""
+    u = _uniforms(key, 5, N)
+    key_idx = jax.random.fold_in(key, 777)
+    N_comp = bg["fluxratios"].shape[0]
+    hi = N_comp if host_is_bg else max(N_comp - 1, 1)
+    idxs = jax.random.randint(key_idx, (N,), 0, hi)
+    fluxratios_draw = bg["fluxratios"][idxs]
+    delta_band_draw = bg["delta_band"][idxs]
+    lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
+                                delta_band_draw, seps, cons)
+    P = _draw_P(u[0], P_lo, P_hi)
+    if host_is_bg:
+        host_mass = bg["masses"][idxs]
+        host_rad = bg["radii"][idxs]
+        u1s, u2s = bg["u1s"][idxs], bg["u2s"][idxs]
+        pop_ok = (bg["loggs"][idxs] >= 3.5) & (bg["teffs"][idxs] <= 10000.0)
+        g = tp_dilution(fluxratios_draw / (1.0 - fluxratios_draw), True)
+    else:
+        host_mass = jnp.full((N,), M_s, F32)
+        host_rad = jnp.full((N,), R_s, F32)
+        u1s = u2s = None
+        pop_ok = jnp.ones((N,), bool)
+        g = tp_dilution(fluxratios_draw / (1.0 - fluxratios_draw), False)
+    rps = sample_rp(u[1], host_mass, flatpriors)
+    incs = sample_inc(u[2])
+    eccs = sample_ecc(u[3], True, jnp.mean(P))
+    argps = sample_w(u[4])
+    a, Ptra, b, coll, transits = _geometry(
+        P, host_mass, host_rad, rps * REARTH, eccs, argps, incs)
+    mask = transits & ~coll & pop_ok
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    out = dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
+               mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+               k=rps * REARTH / (host_rad * RSUN),
+               a_R=a / (host_rad * RSUN), g=g, lnprior=lnprior,
+               fluxratios_comp=fluxratios_draw, idxs=idxs,
+               host_mass=host_mass, host_rad=host_rad)
+    if u1s is not None:
+        out["u1s"], out["u2s"] = u1s, u2s
+    return out
+
+
+@partial(jax.jit, static_argnames=("N", "flatpriors"))
+def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors):
+    """NTP for a star of unknown properties: host drawn from the TRILEGAL
+    Tmag +/- 1 lookalike population, no dilution
+    (reference ml.py:2365-2551)."""
+    u = _uniforms(key, 5, N)
+    key_idx = jax.random.fold_in(key, 777)
+    N_pos = pop["masses"].shape[0]
+    idxs = jax.random.randint(key_idx, (N,), 0, N_pos)
+    host_mass = pop["masses"][idxs]
+    host_rad = pop["radii"][idxs]
+    u1s, u2s = pop["u1s"][idxs], pop["u2s"][idxs]
+    pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
+    P = _draw_P(u[0], P_lo, P_hi)
+    rps = sample_rp(u[1], host_mass, flatpriors)
+    incs = sample_inc(u[2])
+    eccs = sample_ecc(u[3], True, jnp.mean(P))
+    argps = sample_w(u[4])
+    a, Ptra, b, coll, transits = _geometry(
+        P, host_mass, host_rad, rps * REARTH, eccs, argps, incs)
+    mask = transits & ~coll & pop_ok
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
+                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                k=rps * REARTH / (host_rad * RSUN),
+                a_R=a / (host_rad * RSUN), idxs=idxs,
+                host_mass=host_mass, host_rad=host_rad, u1s=u1s, u2s=u2s,
+                g=jnp.ones((N,), F32), lnprior=jnp.zeros((N,), F32))
+
+
+# --------------------------- EB-family samplers ----------------------------
+
+def _eb_twin_geometry(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg,
+                      incs_deg, twin_R_occ_cm):
+    """Normal + twin-branch geometry for EB scenarios. The twin branch uses
+    2P and a collision radius of 2*R_host (reference ml.py:253-268)."""
+    a, Ptra, b, coll, transits = _geometry(
+        P, M_tot, R_host_rsun, radii_rsun * RSUN, eccs, argps_deg, incs_deg)
+    a_twin = _semimajor(2.0 * P, M_tot)
+    sin_argp = jnp.sin(argps_deg * PI / 180.0)
+    e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
+    R_host_cm = R_host_rsun * RSUN
+    Ptra_twin = (radii_rsun * RSUN + R_host_cm) / a_twin * e_corr
+    r_twin = a_twin * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
+    b_twin = r_twin * jnp.cos(incs_deg * PI / 180.0) / R_host_cm
+    coll_twin = twin_R_occ_cm > a_twin * (1.0 - eccs)
+    transits_twin = (Ptra_twin <= 1.0) & (jnp.cos(incs_deg * PI / 180.0) <= Ptra_twin)
+    return a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin
+
+
+@partial(jax.jit, static_argnames=("N",))
+def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
+    """TEB / NEB: target (or nearby star) is an eclipsing binary
+    (reference ml.py:175-383)."""
+    u = _uniforms(key, 5, N)
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], M_s)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    masses = qs * M_s
+    radii, _teffs = stellar_relations(
+        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    fluxratios = _fluxratio_vs_target(masses, M_s)
+    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
+        _eb_twin_geometry(P, M_s + masses, R_s, radii, eccs, argps, incs,
+                          2.0 * R_s * RSUN))
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, R_s)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
+    mask = transits & ~coll & (qs < 0.95)
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95)
+    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+                masses=masses, radii=radii, fluxratios=fluxratios,
+                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+                mask=mask, mask_twin=mask_twin,
+                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+                g_pri=g_pri, g_sec=g_sec,
+                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+
+
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt"))
+def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
+               *, N, use_molusc, cc_filt):
+    """PEB: target EB + unresolved bound companion (reference ml.py:589-866)."""
+    u = _uniforms(key, 6, N)
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], M_s)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    if use_molusc:
+        qs_comp = qs_comp_in
+    else:
+        qs_comp = sample_q_companion(u[5], M_s)
+    masses = qs * M_s
+    radii, _ = stellar_relations(
+        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    fluxratios = _fluxratio_vs_target(masses, M_s)
+    masses_comp = qs_comp * M_s
+    fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
+    if use_molusc:
+        lnprior = jnp.zeros((N,), F32)
+    else:
+        lnprior = _companion_prior_bound(
+            "EB", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
+    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
+        _eb_twin_geometry(P, M_s + masses, R_s, radii, eccs, argps, incs,
+                          2.0 * R_s * RSUN))
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, R_s)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
+    g_pri, g_sec = eb_dilution(F_EB, F_comp, False)
+    mask = transits & ~coll & (qs < 0.95) & (qs_comp != 0.0)
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & (qs_comp != 0.0)
+    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+                masses=masses, radii=radii, fluxratios=fluxratios,
+                fluxratios_comp=fluxratios_comp, lnprior=lnprior,
+                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+                mask=mask, mask_twin=mask_twin,
+                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+                g_pri=g_pri, g_sec=g_sec,
+                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+
+
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt"))
+def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
+               u1_tab, u2_tab, seps, cons, *, N, use_molusc, cc_filt):
+    """SEB: the unresolved bound companion is itself an EB
+    (reference ml.py:1080-1376). Note the EB flux ratio denominator uses
+    the *target* mass (ml.py:1193-1196) and the companion prior uses the
+    combined companion+EB delta-mag (ml.py:1200-1235)."""
+    u = _uniforms(key, 6, N)
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], M_s)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    if use_molusc:
+        qs_comp = qs_comp_in
+    else:
+        qs_comp = sample_q_companion(u[5], M_s)
+    masses_comp = qs_comp * M_s
+    radii_comp, teffs_comp = stellar_relations(
+        masses_comp, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    loggs_comp = jnp.log10(G * (masses_comp * MSUN) /
+                           jnp.maximum(radii_comp * RSUN, 1.0) ** 2)
+    fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
+    i_logg, i_teff = round_index_comp(loggs_comp, teffs_comp,
+                                      u1_tab.shape[1], xp=jnp)
+    u1s = u1_tab[i_logg, i_teff]
+    u2s = u2_tab[i_logg, i_teff]
+    masses = qs * masses_comp
+    radii, _ = stellar_relations(masses, radii_comp, teffs_comp, xp=jnp)
+    fluxratios = _fluxratio_vs_target(masses, M_s)
+    if use_molusc:
+        lnprior = jnp.zeros((N,), F32)
+    else:
+        # combined delta-mag of companion + EB (ml.py:1200-1235)
+        if cc_filt is None:
+            fr_c, fr_e = fluxratios_comp, fluxratios
+        else:
+            fr_c = _fluxratio_vs_target(masses_comp, M_s, cc_filt)
+            fr_e = _fluxratio_vs_target(masses, M_s, cc_filt)
+        delta_mags = 2.5 * jnp.log10(fr_c / (1.0 - fr_c) + fr_e / (1.0 - fr_e))
+        lnp = lnprior_bound_EB(M_s, plx, jnp.abs(delta_mags), seps, cons)
+        lnprior = clamp_companion_prior(lnp, delta_mags)
+    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
+        _eb_twin_geometry(P, masses_comp + masses, radii_comp, radii, eccs,
+                          argps, incs, 2.0 * radii_comp * RSUN))
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, radii_comp)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
+    g_pri, g_sec = eb_dilution(F_EB, F_comp, True)
+    mask = transits & ~coll & (qs < 0.95) & (qs_comp != 0.0)
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & (qs_comp != 0.0)
+    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+                masses=masses, radii=radii, fluxratios=fluxratios,
+                fluxratios_comp=fluxratios_comp, lnprior=lnprior,
+                masses_comp=masses_comp, radii_comp=radii_comp,
+                u1s=u1s, u2s=u2s,
+                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+                mask=mask, mask_twin=mask_twin,
+                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+                g_pri=g_pri, g_sec=g_sec,
+                a_R=a / (radii_comp * RSUN),
+                a_R_twin=a_twin / (radii_comp * RSUN))
+
+
+@partial(jax.jit, static_argnames=("N", "has_cc", "host_is_bg", "cc_filt"))
+def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
+                         *, N, has_cc, host_is_bg, cc_filt="TESS"):
+    """DEB (host_is_bg=False) and BEB (host_is_bg=True)
+    (reference ml.py:1571-1837 DEB, :2038-2362 BEB). BEB applies the
+    distance correction to the EB flux ratio (ml.py:2146-2159) and samples
+    qs with M_s = target mass in DEB but the background star in BEB via
+    qs*masses_comp."""
+    u = _uniforms(key, 5, N)
+    key_idx = jax.random.fold_in(key, 777)
+    N_comp = bg["fluxratios"].shape[0]
+    hi = N_comp if host_is_bg else max(N_comp - 1, 1)
+    idxs = jax.random.randint(key_idx, (N,), 0, hi)
+    fluxratios_draw = bg["fluxratios"][idxs]
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], M_s)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    if host_is_bg:
+        host_mass = bg["masses"][idxs]
+        host_rad = bg["radii"][idxs]
+        u1s, u2s = bg["u1s"][idxs], bg["u2s"][idxs]
+        pop_ok = (bg["loggs"][idxs] >= 3.5) & (bg["teffs"][idxs] <= 10000.0)
+        masses = qs * host_mass
+        radii, _ = stellar_relations(masses, host_rad, bg["teffs"][idxs], xp=jnp)
+        # distance-corrected EB flux ratio (ml.py:2146-2159)
+        fr_bound = _fluxratio_vs_target(host_mass, M_s)
+        dist_corr = fluxratios_draw / fr_bound
+        fluxratios = _fluxratio_vs_target(masses, M_s) * dist_corr
+        F_comp = fluxratios_draw / (1.0 - fluxratios_draw)
+        g_pri, g_sec = eb_dilution(fluxratios / (1.0 - fluxratios), F_comp, True)
+    else:
+        host_mass = jnp.full((N,), M_s, F32)
+        host_rad = jnp.full((N,), R_s, F32)
+        u1s = u2s = None
+        pop_ok = jnp.ones((N,), bool)
+        masses = qs * M_s
+        radii, _ = stellar_relations(
+            masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+        fluxratios = _fluxratio_vs_target(masses, M_s)
+        F_comp = fluxratios_draw / (1.0 - fluxratios_draw)
+        g_pri, g_sec = eb_dilution(fluxratios / (1.0 - fluxratios), F_comp, False)
+    # background prior. BEB combines the companion and EB flux ratios in
+    # the delta-mag; with a contrast curve both get the cc-band distance
+    # correction (ml.py:2160-2209). DEB uses the DTP-style block
+    # (ml.py:1674-1701).
+    if host_is_bg:
+        if has_cc:
+            fr_c_cc = bg["fluxratios_cc"][idxs]
+            fr_bound_cc = _fluxratio_vs_target(host_mass, M_s, cc_filt)
+            fr_eb_cc = (_fluxratio_vs_target(masses, M_s, cc_filt)
+                        * (fr_c_cc / fr_bound_cc))
+            delta_mags = 2.5 * jnp.log10(fr_c_cc / (1.0 - fr_c_cc)
+                                         + fr_eb_cc / (1.0 - fr_eb_cc))
+            lnp = lnprior_background(N_comp, jnp.abs(delta_mags), seps, cons)
+        else:
+            delta_mags = 2.5 * jnp.log10(
+                fluxratios_draw / (1.0 - fluxratios_draw)
+                + fluxratios / (1.0 - fluxratios))
+            lnp = jnp.full_like(
+                delta_mags,
+                np.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
+        lnprior = clamp_companion_prior(lnp, delta_mags)
+    else:
+        lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
+                                    bg["delta_band"][idxs], seps, cons)
+    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
+        _eb_twin_geometry(P, host_mass + masses, host_rad, radii, eccs,
+                          argps, incs, 2.0 * host_rad * RSUN))
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, host_rad)
+    mask = transits & ~coll & (qs < 0.95) & pop_ok
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & pop_ok
+    out = dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+               masses=masses, radii=radii, fluxratios=fluxratios,
+               fluxratios_comp=fluxratios_draw, lnprior=lnprior,
+               a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+               mask=mask, mask_twin=mask_twin, idxs=idxs,
+               inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+               g_pri=g_pri, g_sec=g_sec,
+               a_R=a / (host_rad * RSUN), a_R_twin=a_twin / (host_rad * RSUN),
+               host_mass=host_mass, host_rad=host_rad)
+    if u1s is not None:
+        out["u1s"], out["u2s"] = u1s, u2s
+    return out
+
+
+@partial(jax.jit, static_argnames=("N",))
+def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
+    """NEB for subgiant stars (logg=3.0 assumption; M_s derived on host)
+    (reference ml.py:2969-3178). Twin-branch quirks preserved: Ptra_twin
+    uses (R_s + R_s) instead of (radii + R_s) (ml.py:3052) and the twin
+    lnL call passes R_EB = R_s so the twin radius ratio is exactly 1
+    before the 0.999 adjustment (ml.py:3100)."""
+    u = _uniforms(key, 5, N)
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], 1.0)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    masses = qs * M_s
+    radii, _ = stellar_relations(
+        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    fluxratios = _fluxratio_vs_target(masses, M_s)
+    a, _Ptra, b, coll, transits = _geometry(
+        P, M_s + masses, R_s, radii * RSUN, eccs, argps, incs)
+    a_twin = _semimajor(2.0 * P, M_s + masses)
+    sin_argp = jnp.sin(argps * PI / 180.0)
+    e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
+    Ptra_twin = (2.0 * R_s * RSUN) / a_twin * e_corr  # quirk: 2*R_s
+    r_twin = a_twin * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
+    b_twin = r_twin * jnp.cos(incs * PI / 180.0) / (R_s * RSUN)
+    coll_twin = (2.0 * R_s * RSUN) > a_twin * (1.0 - eccs)
+    transits_twin = (Ptra_twin <= 1.0) & (jnp.cos(incs * PI / 180.0) <= Ptra_twin)
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, R_s)
+    # twin branch: R_EB = R_s exactly -> k = ksec = 1 -> 0.999 adjustment
+    k_twin, ksec_twin = eb_radius_ratios(jnp.full((N,), R_s, F32), R_s)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
+    mask = transits & ~coll & (qs < 0.95)
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95)
+    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+                masses=masses, radii=radii, fluxratios=fluxratios,
+                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+                mask=mask, mask_twin=mask_twin,
+                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+                k_twin=k_twin, ksec_twin=ksec_twin,
+                g_pri=g_pri, g_sec=g_sec,
+                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+
+
+@partial(jax.jit, static_argnames=("N",))
+def sample_neb_unknown(key, P_lo, P_hi, pop, *, N):
+    """NEB for a star of unknown properties (reference ml.py:2554-2829).
+    qs drawn with M_s=1.0; EB flux ratio is relative to the drawn host
+    (ml.py:2672-2676)."""
+    u = _uniforms(key, 5, N)
+    key_idx = jax.random.fold_in(key, 777)
+    N_pos = pop["masses"].shape[0]
+    idxs = jax.random.randint(key_idx, (N,), 0, N_pos)
+    host_mass = pop["masses"][idxs]
+    host_rad = pop["radii"][idxs]
+    u1s, u2s = pop["u1s"][idxs], pop["u2s"][idxs]
+    pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
+    P = _draw_P(u[0], P_lo, P_hi)
+    incs = sample_inc(u[1])
+    qs = sample_q(u[2], 1.0)
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    masses = qs * host_mass
+    radii, _ = stellar_relations(masses, host_rad, pop["teffs"][idxs], xp=jnp)
+    f_eb = flux_relation(masses, "TESS", xp=jnp)
+    f_host = flux_relation(host_mass, "TESS", xp=jnp)
+    fluxratios = f_eb / (f_eb + f_host)
+    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
+        _eb_twin_geometry(P, host_mass + masses, host_rad, radii, eccs,
+                          argps, incs, 2.0 * host_rad * RSUN))
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, host_rad)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
+    mask = transits & ~coll & (qs < 0.95) & pop_ok
+    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & pop_ok
+    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
+                masses=masses, radii=radii, fluxratios=fluxratios,
+                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
+                mask=mask, mask_twin=mask_twin, idxs=idxs,
+                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+                g_pri=g_pri, g_sec=g_sec,
+                a_R=a / (host_rad * RSUN), a_R_twin=a_twin / (host_rad * RSUN),
+                host_mass=host_mass, host_rad=host_rad, u1s=u1s, u2s=u2s,
+                g=jnp.ones((N,), F32), lnprior=jnp.zeros((N,), F32))
