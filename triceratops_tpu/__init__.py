@@ -1,0 +1,27 @@
+"""triceratops_tpu — TPU-native Bayesian vetting of transiting-planet
+candidates.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the TRICERATOPS
+framework (Giacalone et al. 2021, AJ 161, 24): given a phase-folded
+transit light curve and the star field around the target, it
+Monte-Carlo-marginalizes the likelihood of ~15-20 astrophysical scenarios
+and reports FPP (false-positive probability) and NFPP (nearby FPP).
+
+Usage mirrors the reference package::
+
+    import triceratops_tpu.triceratops as tr
+    target = tr.target(ID, sectors)            # online
+    target = tr.target.from_stars(stars_df)    # offline
+    target.calc_depths(tdepth)
+    target.calc_probs(time, flux, flux_err, P_orb)
+    target.FPP, target.NFPP
+"""
+
+from .frontend.target import target  # noqa: F401
+from .scenarios.api import (  # noqa: F401
+    lnZ_TTP, lnZ_TEB, lnZ_PTP, lnZ_PEB, lnZ_STP, lnZ_SEB,
+    lnZ_DTP, lnZ_DEB, lnZ_BTP, lnZ_BEB,
+    lnZ_NTP_unknown, lnZ_NEB_unknown, lnZ_NTP_evolved, lnZ_NEB_evolved,
+)
+
+__version__ = "0.1.0"

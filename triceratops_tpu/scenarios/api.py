@@ -97,10 +97,15 @@ def _u_arrays(u1, u2, N):
     return (jnp.asarray(np.full(N, u1, F32)), jnp.asarray(np.full(N, u2, F32)))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
 def _prep_background(trilegal_fname, Tmag, Jmag, Hmag, Kmag, mission, filt,
                      need_ldc, need_cc_ratio=False):
     """Per-background-star device arrays from a TRILEGAL csv
-    (reference ml.py:1451-1463 and analogues)."""
+    (reference ml.py:1451-1463 and analogues). Cached per file/target so
+    the four D*/B* scenarios share one parse + LDC lookup pass."""
     (Tmags, Masses, loggs, Teffs, Zs, Jmags, Hmags, Kmags) = trilegal_results(
         trilegal_fname, Tmag)
     d_T = Tmag - Tmags
@@ -138,6 +143,7 @@ def _prep_background(trilegal_fname, Tmag, Jmag, Hmag, Kmag, mission, filt,
     return {k: jnp.asarray(v) for k, v in bg.items()}, len(Tmags)
 
 
+@lru_cache(maxsize=16)
 def _prep_lookalikes(trilegal_fname, Tmag, mission):
     """Tmag +/- 1 lookalike population for the NTP/NEB-unknown scenarios
     (reference ml.py:2402-2446)."""
