@@ -5,14 +5,12 @@ import jax
 import jax.numpy as jnp
 
 from triceratops_tpu.parallel.sharding import make_mesh, batch_fpp_tp_eb
-from triceratops_tpu.ops.lightcurve import supersample_times
 
 
 def _batch_inputs(B, n_t=24, ns=2, seed=0):
     rng = np.random.default_rng(seed)
     time = np.linspace(-0.15, 0.15, n_t)
-    t_ss1 = supersample_times(time, 0.00139, ns).astype(np.float32)
-    t_ss = jnp.asarray(np.tile(t_ss1, (B, 1)))
+    t_ss = jnp.asarray(np.tile(time.astype(np.float32), (B, 1)))
     obs_dev = jnp.asarray(rng.normal(0, 5e-4, (B, n_t)).astype(np.float32))
     keys = jax.random.split(jax.random.key(0), B)
     f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))  # noqa: E731

@@ -6,6 +6,15 @@ accumulates chi^2 against the observed light curve — all inside one jitted
 program, blocked over the draw axis so memory stays O(chunk x n_ss)
 (SURVEY.md section 5.7: block the draw axis, accumulate chi^2 on the fly).
 
+Two execution paths per core (static flag ``exact``):
+
+* fast (default): the per-draw Chebyshev deficit proxy + per-exposure
+  Kepler solves from ops/fastcore.py — ~10-20x fewer VPU transcendentals
+  per (draw, sample) at < 1e-6 absolute flux error (validated in
+  tests/test_fastcore.py).
+* exact: direct kernel + Kepler evaluation at every supersample, used as
+  the validation anchor.
+
 Numerical design: the model is carried as a *deficit* from unity, so the
 residual (flux_obs - model) = obs_dev + g * deficit is formed without
 catastrophic cancellation in float32 (obs_dev = flux_obs - 1 is
@@ -34,6 +43,9 @@ import jax.numpy as jnp
 
 from ..core.kepler import projected_z
 from .occult import occult_quad_deficit
+from .fastcore import (
+    cheb_deficit_coeffs, cheb_deficit_eval, exposure_z2_poly, z_supersampled,
+)
 
 # Fixed secondary-eclipse scan grid (reference likelihoods.py:135, :421)
 SEC_GRID = np.linspace(-0.05, 0.05, 25)
@@ -54,6 +66,10 @@ def supersample_times(time: np.ndarray, exptime: float, nsamples: int) -> np.nda
     return (time[:, None] + offs[None, :]).reshape(-1)
 
 
+def _ss_offsets(exptime: float, ns: int):
+    return exptime * ((np.arange(ns) + 0.5) / ns - 0.5)
+
+
 def _pad_chunk(arrs, N, chunk):
     n_chunks = -(-N // chunk)
     pad = n_chunks * chunk - N
@@ -66,8 +82,14 @@ def _pad_chunk(arrs, N, chunk):
     return out
 
 
-def _mean_deficit(t_ss, k, P, a_R, inc, e, w, u1, u2, n_t, ns):
-    """Per-draw mean-over-supersamples deficit curve, (chunk, n_t)."""
+def _mean_deficit_exact(time, exptime, k, P, a_R, inc, e, w, u1, u2,
+                        n_t, ns):
+    """Exact path: full Kepler + kernel per supersample, (chunk, n_t)."""
+    if ns > 1:
+        offs = jnp.asarray(_ss_offsets(exptime, ns), time.dtype)
+        t_ss = (time[:, None] + offs[None, :]).reshape(-1)
+    else:
+        t_ss = time
     z, front = projected_z(
         t_ss[None, :], 0.0, P[:, None], a_R[:, None],
         inc[:, None], e[:, None], w[:, None],
@@ -79,9 +101,35 @@ def _mean_deficit(t_ss, k, P, a_R, inc, e, w, u1, u2, n_t, ns):
     return D
 
 
-@partial(jax.jit, static_argnames=("n_t", "ns", "chunk"))
-def lnL_planet(t_ss, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
-               *, n_t: int, ns: int, chunk: int = 4096):
+def _mean_deficit_fast(time, exptime, k, P, a_R, inc, e, w, u1, u2,
+                       n_t, ns):
+    """Fast path: Chebyshev deficit proxy + per-exposure Kepler."""
+    coeffs = cheb_deficit_coeffs(k, u1, u2)
+    if ns > 1:
+        h = exptime / 2.0
+        q0, q1, q2, front = exposure_z2_poly(time, h, P, a_R, inc, e, w)
+        offs = jnp.asarray(_ss_offsets(exptime, ns), jnp.float32)
+        z = z_supersampled(q0, q1, q2, offs)          # (chunk, n_t, ns)
+        D = cheb_deficit_eval(coeffs, z.reshape(z.shape[0], -1))
+        D = D.reshape(z.shape) * front[..., None]
+        return D.mean(axis=2)
+    z, front = projected_z(time[None, :], 0.0, P[:, None], a_R[:, None],
+                           inc[:, None], e[:, None], w[:, None])
+    D = cheb_deficit_eval(coeffs, z)
+    return jnp.where(front, D, 0.0)
+
+
+def _mean_deficit(time, exptime, k, P, a_R, inc, e, w, u1, u2, n_t, ns,
+                  exact):
+    fn = _mean_deficit_exact if exact else _mean_deficit_fast
+    return fn(time, exptime, k, P, a_R, inc, e, w, u1, u2, n_t, ns)
+
+
+@partial(jax.jit,
+         static_argnames=("exptime", "n_t", "ns", "chunk", "exact"))
+def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
+               *, exptime: float, n_t: int, ns: int, chunk: int = 4096,
+               exact: bool = False):
     """Transiting-planet family log-likelihoods for N draws.
 
     Returns lnL (N,) = -0.5 ln 2pi - ln sigma - 0.5 chi^2 for masked-in
@@ -94,7 +142,8 @@ def lnL_planet(t_ss, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
 
     def body(args):
         kc, Pc, ac, ic, ec, wc, u1c, u2c, gc, mc = args
-        D = _mean_deficit(t_ss, kc, Pc, ac, ic, ec, wc, u1c, u2c, n_t, ns)
+        D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c, u2c,
+                          n_t, ns, exact)
         resid = obs_dev[None, :] + gc[:, None] * D
         chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
         lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
@@ -104,26 +153,31 @@ def lnL_planet(t_ss, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
     return lnL.reshape(-1)[:N]
 
 
-@partial(jax.jit, static_argnames=("n_t", "ns", "chunk", "apply_veto"))
-def lnL_eb(t_ss, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
-           g_pri, g_sec, mask, *, n_t: int, ns: int, chunk: int = 4096,
-           apply_veto: bool = True):
+@partial(jax.jit,
+         static_argnames=("exptime", "n_t", "ns", "chunk", "apply_veto",
+                          "exact"))
+def lnL_eb(time, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
+           g_pri, g_sec, mask, *, exptime: float, n_t: int, ns: int,
+           chunk: int = 4096, apply_veto: bool = True, exact: bool = False):
     """Eclipsing-binary family log-likelihoods for N draws.
 
     k is the (already quirk-adjusted) primary radius ratio, ksec the
     secondary ratio. When apply_veto, draws whose diluted secondary depth
     >= 1.5 sigma are excluded (ref likelihoods.py:535-538); the twin
-    branch passes apply_veto=False (ref likelihoods.py:542-587)."""
+    branch passes apply_veto=False (ref likelihoods.py:542-587). The
+    25-point secondary scan always uses the exact kernel (it is a
+    negligible fraction of the work)."""
     N = k.shape[0]
     inv_sig2 = 1.0 / (sigma * sigma)
     ln_sigma = jnp.log(sigma)
-    sec_grid = jnp.asarray(SEC_GRID, dtype=t_ss.dtype)
+    sec_grid = jnp.asarray(SEC_GRID, dtype=time.dtype)
     (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_, gp_, gs_, m_) = _pad_chunk(
         [k, ksec, P, a_R, inc, e, w, u1, u2, g_pri, g_sec, mask], N, chunk)
 
     def body(args):
         kc, ksc, Pc, ac, ic, ec, wc, u1c, u2c, gpc, gsc, mc = args
-        D = _mean_deficit(t_ss, kc, Pc, ac, ic, ec, wc, u1c, u2c, n_t, ns)
+        D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c, u2c,
+                          n_t, ns, exact)
         resid = obs_dev[None, :] + gpc[:, None] * D
         chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
         lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
@@ -139,7 +193,8 @@ def lnL_eb(t_ss, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
             mc = mc & (secdepth < 1.5 * sigma)
         return jnp.where(mc, lnL, -jnp.inf)
 
-    lnL = jax.lax.map(body, (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_, gp_, gs_, m_))
+    lnL = jax.lax.map(body, (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_,
+                             gp_, gs_, m_))
     return lnL.reshape(-1)[:N]
 
 

@@ -56,24 +56,24 @@ def _combine_lnZ(m, s, N_total, axis_name):
     return jnp.where(S > 0.0, lnZ, -jnp.inf)
 
 
-def batch_fpp_tp_eb(mesh: Mesh, keys, t_ss, obs_dev, sigmas, P_orbs,
+def batch_fpp_tp_eb(mesh: Mesh, keys, times, obs_dev, sigmas, P_orbs,
                     M_ss, R_ss, Teffs, u1s, u2s, *, N: int, n_t: int,
-                    ns: int, chunk: int = 1024):
+                    ns: int, chunk: int = 1024, exptime: float = 0.00139):
     """FPP over the (TP, EB, EBx2P) scenario set for a batch of targets.
 
     Batch axis is sharded over 'targets'; each target's N draws are split
     over 'draws' (each shard draws N / n_d i.i.d. samples from a folded
     key). Returns (FPP, lnZ[3]) per target.
 
-    Args are per-target arrays: keys (B,), t_ss (B, n_ss), obs_dev
-    (B, n_t), scalars (B,).
+    Args are per-target arrays: keys (B,), times (B, n_t) exposure
+    centers, obs_dev (B, n_t) flux - 1, scalars (B,).
     """
     n_d = mesh.shape["draws"]
     if N % n_d:
         raise ValueError(f"N={N} must divide the draws axis ({n_d})")
     N_local = N // n_d
 
-    def per_target(key, t_ss_i, obs_i, sigma, P_orb, M_s, R_s, Teff, u1, u2):
+    def per_target(key, time_i, obs_i, sigma, P_orb, M_s, R_s, Teff, u1, u2):
         d_idx = jax.lax.axis_index("draws")
         key = jax.random.fold_in(key, d_idx)
         k_tp, k_eb = jax.random.split(key)
@@ -82,23 +82,26 @@ def batch_fpp_tp_eb(mesh: Mesh, keys, t_ss, obs_dev, sigmas, P_orbs,
 
         d = eng.sample_planet_target(k_tp, P_orb, P_orb, M_s, R_s,
                                      N=N_local, flatpriors=False)
-        lnL_tp = lnL_planet(t_ss_i, obs_i, sigma, d["k"], d["P"], d["a_R"],
+        lnL_tp = lnL_planet(time_i, obs_i, sigma, d["k"], d["P"], d["a_R"],
                             d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                             jnp.ones((N_local,), jnp.float32), d["mask"],
-                            n_t=n_t, ns=ns, chunk=chunk)
+                            exptime=exptime, n_t=n_t, ns=ns, chunk=chunk)
         e = eng.sample_teb(k_eb, P_orb, P_orb, M_s, R_s, Teff, N=N_local)
-        lnL_eb_ = lnL_eb(t_ss_i, obs_i, sigma, e["k"], e["ksec"], e["P"],
+        lnL_eb_ = lnL_eb(time_i, obs_i, sigma, e["k"], e["ksec"], e["P"],
                          e["a_R"], e["inc_rad"], e["eccs"], e["w_rad"],
                          u1a, u2a, e["g_pri"], e["g_sec"], e["mask"],
-                         n_t=n_t, ns=ns, chunk=chunk, apply_veto=True)
-        lnL_twin = lnL_eb(t_ss_i, obs_i, sigma, e["k"], e["ksec"],
-                          2.0 * e["P"], e["a_R_twin"], e["inc_rad"],
+                         exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
+                         apply_veto=True)
+        lnL_twin = lnL_eb(time_i, obs_i, sigma, e["k"], e["ksec"],
+                          2.0 * e["P"], e["a_R_twin"], e["inc_rad_twin"],
                           e["eccs"], e["w_rad"], u1a, u2a, e["g_pri"],
                           e["g_sec"], e["mask_twin"],
-                          n_t=n_t, ns=ns, chunk=chunk, apply_veto=False)
+                          exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
+                          apply_veto=False)
         lnZs = []
-        for lnL in (lnL_tp, lnL_eb_, lnL_twin):
-            m, s = _local_lnZ_parts(lnL)
+        for lnL, lnw in ((lnL_tp, d["lnw"]), (lnL_eb_, e["lnw"]),
+                         (lnL_twin, e["lnw_twin"])):
+            m, s = _local_lnZ_parts(lnL + lnw)
             lnZs.append(_combine_lnZ(m, s, N, "draws"))
         lnZ = jnp.stack(lnZs)
         probs = jnp.exp(lnZ - logsumexp_jax(lnZ))
@@ -109,10 +112,10 @@ def batch_fpp_tp_eb(mesh: Mesh, keys, t_ss, obs_dev, sigmas, P_orbs,
              in_specs=(P("targets"),) * 10,
              out_specs=(P("targets"), P("targets")),
              check_rep=False)
-    def step(keys, t_ss, obs_dev, sigmas, P_orbs, M_ss, R_ss, Teffs,
+    def step(keys, times, obs_dev, sigmas, P_orbs, M_ss, R_ss, Teffs,
              u1s, u2s):
-        return jax.vmap(per_target)(keys, t_ss, obs_dev, sigmas, P_orbs,
+        return jax.vmap(per_target)(keys, times, obs_dev, sigmas, P_orbs,
                                     M_ss, R_ss, Teffs, u1s, u2s)
 
-    return jax.jit(step)(keys, t_ss, obs_dev, sigmas, P_orbs, M_ss, R_ss,
+    return jax.jit(step)(keys, times, obs_dev, sigmas, P_orbs, M_ss, R_ss,
                          Teffs, u1s, u2s)

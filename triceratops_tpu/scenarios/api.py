@@ -66,14 +66,13 @@ def _cc(contrast_curve_file, filt):
 
 
 def _lc(time, flux, exptime, nsamples):
-    """(t_ss, obs_dev, n_t, chunk) device-ready light-curve arrays."""
+    """(time_dev, obs_dev, n_t, chunk) device-ready light-curve arrays."""
     time = np.asarray(time, dtype=np.float64)
-    t_ss = supersample_times(time, exptime, nsamples).astype(F32)
     obs_dev = (np.asarray(flux, dtype=np.float64) - 1.0).astype(F32)
     n_t = len(time)
-    n_ss = len(t_ss)
+    n_ss = n_t * max(nsamples, 1)
     chunk = int(max(256, min(8192, (1 << 22) // max(n_ss, 1))))
-    return jnp.asarray(t_ss), jnp.asarray(obs_dev), n_t, chunk
+    return jnp.asarray(time.astype(F32)), jnp.asarray(obs_dev), n_t, chunk
 
 
 def _logg(M_s, R_s):
@@ -185,20 +184,22 @@ def _res(lnZ, gathered, **fields):
 def lnZ_TTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, key=None):
+            nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """Marginal likelihood of the TTP scenario (reference ml.py:39-172).
     Also used for NTP on nearby stars (reference triceratops.py:1357)."""
     P_lo, P_hi = _p_bounds(P_orb)
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_planet_target(_key(key), P_lo, P_hi, F32(M_s), F32(R_s),
-                                 N=N, flatpriors=flatpriors)
+                                 N=N, flatpriors=flatpriors,
+                               stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                      jnp.ones((N,), jnp.float32), d["mask"],
-                     n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, jnp.zeros((N,), jnp.float32),
+                     exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs", "argps"))
     return _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                       "R_p": g["rps"], "ecc": g["eccs"], "argp": g["argps"]},
@@ -207,48 +208,52 @@ def lnZ_TTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
                 fluxratio_comp=_zeros())
 
 
-def _eb_lnZ_pair(d, t_ss, obs_dev, sigma, u1a, u2a, n_t, ns, chunk, lnprior,
-                 k_twin=None, ksec_twin=None):
+def _eb_lnZ_pair(d, t_ss, obs_dev, sigma, u1a, u2a, exptime, n_t, ns,
+                 chunk, lnprior, k_twin=None, ksec_twin=None):
     """Shared normal+twin EB likelihood/evidence computation."""
     N = d["k"].shape[0]
     lnL = lnL_eb(t_ss, obs_dev, sigma, d["k"], d["ksec"], d["P"], d["a_R"],
                  d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                  d["g_pri"], d["g_sec"], d["mask"],
-                 n_t=n_t, ns=ns, chunk=chunk, apply_veto=True)
+                 exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
+                 apply_veto=True)
     kt = d["k"] if k_twin is None else k_twin
     kst = d["ksec"] if ksec_twin is None else ksec_twin
     lnL_twin = lnL_eb(t_ss, obs_dev, sigma, kt, kst, 2.0 * d["P"],
-                      d["a_R_twin"], d["inc_rad"], d["eccs"], d["w_rad"],
-                      u1a, u2a, d["g_pri"], d["g_sec"], d["mask_twin"],
-                      n_t=n_t, ns=ns, chunk=chunk, apply_veto=False)
+                      d["a_R_twin"], d["inc_rad_twin"], d["eccs"],
+                      d["w_rad"], u1a, u2a, d["g_pri"], d["g_sec"],
+                      d["mask_twin"],
+                      exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
+                      apply_veto=False)
     return lnL, lnL_twin
 
 
 def lnZ_TEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, key=None):
+            nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """TEB + EBx2P twin (reference ml.py:175-383). Also used for NEB."""
     P_lo, P_hi = _p_bounds(P_orb)
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_teb(_key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff),
-                       N=N)
+                       N=N, stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     zero = jnp.zeros((N,), jnp.float32)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 n_t, nsamples, chunk, zero)
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios")
-    lnZ, g = eng.run_finalize(lnL, zero, _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, zero, _gd(d, *gnames))
+                                 exptime, n_t, nsamples, chunk, zero)
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios")
+    lnZ, g = eng.run_finalize(lnL, d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], _gd(d, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros(), fluxratio_comp=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                      "ecc": g["eccs"], "argp": g["argps"],
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
                            "b": gt["b_twin"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
@@ -260,7 +265,8 @@ def lnZ_PTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
             contrast_curve_file: str = None, filt: str = "TESS",
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, molusc_file: str = None, key=None):
+            nsamples: int = 20, molusc_file: str = None, key=None,
+            importance_sampling: bool = True):
     """PTP: planet around target + bound companion (reference ml.py:386-586)."""
     P_lo, P_hi = _p_bounds(P_orb)
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
@@ -270,12 +276,12 @@ def lnZ_PTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
     d = eng.sample_ptp(_key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff),
                        F32(plx), qs_in, jnp.asarray(seps), jnp.asarray(cons),
                        N=N, flatpriors=flatpriors, use_molusc=use_molusc,
-                       cc_filt=cc_filt)
+                       cc_filt=cc_filt, stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
-                     d["g"], d["mask"], n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"],
+                     d["g"], d["mask"], exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs",
                                   "argps", "fluxratios_comp"))
     return _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -289,7 +295,8 @@ def lnZ_PEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
             contrast_curve_file: str = None, filt: str = "TESS",
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, molusc_file: str = None, key=None):
+            nsamples: int = 20, molusc_file: str = None, key=None,
+            importance_sampling: bool = True):
     """PEB + PEBx2P (reference ml.py:589-866)."""
     P_lo, P_hi = _p_bounds(P_orb)
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
@@ -298,14 +305,16 @@ def lnZ_PEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
     qs_in, use_molusc = _molusc(molusc_file, M_s, N)
     d = eng.sample_peb(_key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff),
                        F32(plx), qs_in, jnp.asarray(seps), jnp.asarray(cons),
-                       N=N, use_molusc=use_molusc, cc_filt=cc_filt)
+                       N=N, use_molusc=use_molusc, cc_filt=cc_filt,
+                       stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios", "fluxratios_comp")
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"], _gd(d, *gnames))
+                                 exptime, n_t, nsamples, chunk, d["lnprior"])
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios", "fluxratios_comp")
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
+                                _gd(d, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -313,7 +322,7 @@ def lnZ_PEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"],
                      "fluxratio_comp": g["fluxratios_comp"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
                            "b": gt["b_twin"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
@@ -326,7 +335,8 @@ def lnZ_STP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
             contrast_curve_file: str = None, filt: str = "TESS",
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, molusc_file: str = None, key=None):
+            nsamples: int = 20, molusc_file: str = None, key=None,
+            importance_sampling: bool = True):
     """STP: planet around the unresolved companion (reference ml.py:869-1077)."""
     P_lo, P_hi = _p_bounds(P_orb)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
@@ -339,11 +349,11 @@ def lnZ_STP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                        jnp.asarray(u2_tab.astype(F32)),
                        jnp.asarray(seps), jnp.asarray(cons),
                        N=N, flatpriors=flatpriors, use_molusc=use_molusc,
-                       cc_filt=cc_filt)
+                       cc_filt=cc_filt, stratified=importance_sampling)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], d["u1s"], d["u2s"],
-                     d["g"], d["mask"], n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"],
+                     d["g"], d["mask"], exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs", "argps",
                                   "fluxratios_comp", "masses_comp",
                                   "radii_comp", "u1s", "u2s"))
@@ -359,7 +369,8 @@ def lnZ_SEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
             contrast_curve_file: str = None, filt: str = "TESS",
             N: int = 1000000, parallel: bool = False, mission: str = "TESS",
             flatpriors: bool = False, exptime: float = 0.00139,
-            nsamples: int = 20, molusc_file: str = None, key=None):
+            nsamples: int = 20, molusc_file: str = None, key=None,
+            importance_sampling: bool = True):
     """SEB + SEBx2P (reference ml.py:1080-1376; Teff clamp 13000 is bounded
     by the LDC table maximum, ml.py:1181)."""
     P_lo, P_hi = _p_bounds(P_orb)
@@ -372,20 +383,23 @@ def lnZ_SEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                        jnp.asarray(u1_tab.astype(F32)),
                        jnp.asarray(u2_tab.astype(F32)),
                        jnp.asarray(seps), jnp.asarray(cons),
-                       N=N, use_molusc=use_molusc, cc_filt=cc_filt)
+                       N=N, use_molusc=use_molusc, cc_filt=cc_filt,
+                       stratified=importance_sampling)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
-                                 d["u2s"], n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios", "fluxratios_comp", "masses_comp", "radii_comp",
-              "u1s", "u2s")
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"], _gd(d, *gnames))
+                                 d["u2s"], exptime, n_t, nsamples, chunk,
+                                 d["lnprior"])
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios", "fluxratios_comp",
+              "masses_comp", "radii_comp", "u1s", "u2s")
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
+                                _gd(d, *gnames))
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["masses_comp"], "R_s": gg["radii_comp"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs"],
+                         "inc": gg["incs_twin"] if twin else gg["incs"],
                          "b": gg["b_twin"] if twin else gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
@@ -403,7 +417,8 @@ def lnZ_DTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
             Kmag, trilegal_fname, contrast_curve_file: str = None,
             filt: str = "TESS", N: int = 1000000, parallel: bool = False,
             mission: str = "TESS", flatpriors: bool = False,
-            exptime: float = 0.00139, nsamples: int = 20, key=None):
+            exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """DTP: planet around target diluted by a background star
     (reference ml.py:1379-1568)."""
     P_lo, P_hi = _p_bounds(P_orb)
@@ -416,12 +431,12 @@ def lnZ_DTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, flatpriors=flatpriors, has_cc=cc_filt is not None,
-        host_is_bg=False)
+        host_is_bg=False, stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
-                     d["g"], d["mask"], n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"],
+                     d["g"], d["mask"], exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs",
                                   "argps", "fluxratios_comp"))
     return _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -435,7 +450,8 @@ def lnZ_DEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
             Kmag, trilegal_fname, contrast_curve_file: str = None,
             filt: str = "TESS", N: int = 1000000, parallel: bool = False,
             mission: str = "TESS", flatpriors: bool = False,
-            exptime: float = 0.00139, nsamples: int = 20, key=None):
+            exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """DEB + DEBx2P (reference ml.py:1571-1837)."""
     P_lo, P_hi = _p_bounds(P_orb)
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
@@ -447,14 +463,15 @@ def lnZ_DEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, has_cc=cc_filt is not None, host_is_bg=False,
-        cc_filt=cc_filt or "TESS")
+        cc_filt=cc_filt or "TESS", stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios", "fluxratios_comp")
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"], _gd(d, *gnames))
+                                 exptime, n_t, nsamples, chunk, d["lnprior"])
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios", "fluxratios_comp")
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
+                                _gd(d, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -462,7 +479,7 @@ def lnZ_DEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"],
                      "fluxratio_comp": g["fluxratios_comp"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
                            "b": gt["b_twin"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
@@ -475,7 +492,8 @@ def lnZ_BTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Tmag, Jmag, Hmag,
             Kmag, trilegal_fname, contrast_curve_file: str = None,
             filt: str = "TESS", N: int = 1000000, parallel: bool = False,
             mission: str = "TESS", flatpriors: bool = False,
-            exptime: float = 0.00139, nsamples: int = 20, key=None):
+            exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """BTP: planet around the background star (reference ml.py:1840-2035).
     Per-star LDC from the vectorized two-stage lookup."""
     P_lo, P_hi = _p_bounds(P_orb)
@@ -487,11 +505,11 @@ def lnZ_BTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, flatpriors=flatpriors, has_cc=cc_filt is not None,
-        host_is_bg=True)
+        host_is_bg=True, stratified=importance_sampling)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], d["u1s"], d["u2s"],
-                     d["g"], d["mask"], n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"],
+                     d["g"], d["mask"], exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs", "argps",
                                   "fluxratios_comp", "host_mass", "host_rad",
                                   "u1s", "u2s"))
@@ -507,7 +525,8 @@ def lnZ_BEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Tmag, Jmag, Hmag,
             Kmag, trilegal_fname, contrast_curve_file: str = None,
             filt: str = "TESS", N: int = 1000000, parallel: bool = False,
             mission: str = "TESS", flatpriors: bool = False,
-            exptime: float = 0.00139, nsamples: int = 20, key=None):
+            exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """BEB + BEBx2P (reference ml.py:2038-2362)."""
     P_lo, P_hi = _p_bounds(P_orb)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
@@ -519,20 +538,22 @@ def lnZ_BEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, has_cc=cc_filt is not None, host_is_bg=True,
-        cc_filt=cc_filt or "TESS")
+        cc_filt=cc_filt or "TESS", stratified=importance_sampling)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
-                                 d["u2s"], n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios", "fluxratios_comp", "host_mass", "host_rad",
-              "u1s", "u2s")
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"], _gd(d, *gnames))
+                                 d["u2s"], exptime, n_t, nsamples, chunk,
+                                 d["lnprior"])
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios", "fluxratios_comp",
+              "host_mass", "host_rad", "u1s", "u2s")
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
+                                _gd(d, *gnames))
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["host_mass"], "R_s": gg["host_rad"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs"],
+                         "inc": gg["incs_twin"] if twin else gg["incs"],
                          "b": gg["b_twin"] if twin else gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
@@ -557,7 +578,8 @@ _EMPTY_NEB = {"M_s": 0, "R_s": 0, "u1": 0, "u2": 0, "P_orb": 0, "inc": 0,
 def lnZ_NTP_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
                     N: int = 1000000, parallel: bool = False,
                     mission: str = "TESS", flatpriors: bool = False,
-                    exptime: float = 0.00139, nsamples: int = 20, key=None):
+                    exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """NTP for a star of unknown properties drawn from the TRILEGAL
     Tmag +/- 1 lookalike population (reference ml.py:2365-2551). Empty
     population -> lnZ = -inf early return (the reference's empty-res dict
@@ -568,11 +590,12 @@ def lnZ_NTP_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
     P_lo, P_hi = _p_bounds(P_orb)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_ntp_unknown(_key(key), P_lo, P_hi, pop,
-                               N=N, flatpriors=flatpriors)
+                               N=N, flatpriors=flatpriors,
+                               stratified=importance_sampling)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], d["u1s"], d["u2s"],
-                     d["g"], d["mask"], n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, d["lnprior"],
+                     d["g"], d["mask"], exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs", "argps",
                                   "host_mass", "host_rad", "u1s", "u2s"))
     return _res(lnZ, {"M_s": g["host_mass"], "R_s": g["host_rad"],
@@ -586,29 +609,32 @@ def lnZ_NTP_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
 def lnZ_NEB_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
                     N: int = 1000000, parallel: bool = False,
                     mission: str = "TESS", flatpriors: bool = False,
-                    exptime: float = 0.00139, nsamples: int = 20, key=None):
+                    exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """NEB for a star of unknown properties (reference ml.py:2554-2829)."""
     pop, N_pos = _prep_lookalikes(trilegal_fname, Tmag, mission)
     if N_pos == 0:
         return dict(_EMPTY_NEB)
     P_lo, P_hi = _p_bounds(P_orb)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
-    d = eng.sample_neb_unknown(_key(key), P_lo, P_hi, pop, N=N)
+    d = eng.sample_neb_unknown(_key(key), P_lo, P_hi, pop, N=N,
+                               stratified=importance_sampling)
     u1a, u2a = d["u1s"], d["u2s"]
     zero = jnp.zeros((N,), jnp.float32)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 n_t, nsamples, chunk, zero)
-    gather = _gd(d, "P", "incs", "b", "b_twin", "eccs", "argps", "masses",
-                 "radii", "fluxratios", "host_mass", "host_rad")
+                                 exptime, n_t, nsamples, chunk, zero)
+    gather = _gd(d, "P", "incs", "incs_twin", "b", "b_twin", "eccs",
+                 "argps", "masses", "radii", "fluxratios", "host_mass",
+                 "host_rad")
     gather["u1s"], gather["u2s"] = u1a, u2a
-    lnZ, g = eng.run_finalize(lnL, zero, gather)
-    lnZt, gt = eng.run_finalize(lnL_twin, zero, gather)
+    lnZ, g = eng.run_finalize(lnL, d["lnw"], gather)
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], gather)
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["host_mass"], "R_s": gg["host_rad"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs"],
+                         "inc": gg["incs_twin"] if twin else gg["incs"],
                          "b": gg["b_twin"] if twin else gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
@@ -620,7 +646,8 @@ def lnZ_NEB_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
 def lnZ_NTP_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
                     N: int = 1000000, parallel: bool = False,
                     mission: str = "TESS", flatpriors: bool = False,
-                    exptime: float = 0.00139, nsamples: int = 20, key=None):
+                    exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """NTP for subgiants: logg = 3.0 assumption sets the host mass
     (reference ml.py:2832-2966)."""
     M_s = (10**3.0) * (R_s * RSUN) ** 2 / G / MSUN
@@ -628,13 +655,14 @@ def lnZ_NTP_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
     u1, u2 = lookup_target(Z, Teff, 3.0, mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_planet_target(_key(key), P_lo, P_hi, F32(M_s), F32(R_s),
-                                 N=N, flatpriors=flatpriors)
+                                 N=N, flatpriors=flatpriors,
+                               stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL = lnL_planet(t_ss, obs_dev, F32(sigma), d["k"], d["P"], d["a_R"],
                      d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                      jnp.ones((N,), jnp.float32), d["mask"],
-                     n_t=n_t, ns=nsamples, chunk=chunk)
-    lnZ, g = eng.run_finalize(lnL, jnp.zeros((N,), jnp.float32),
+                     exptime=exptime, n_t=n_t, ns=nsamples, chunk=chunk)
+    lnZ, g = eng.run_finalize(lnL, d["lnw"],
                               _gd(d, "P", "incs", "b", "rps", "eccs", "argps"))
     return _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                       "R_p": g["rps"], "ecc": g["eccs"], "argp": g["argps"]},
@@ -646,7 +674,8 @@ def lnZ_NTP_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
 def lnZ_NEB_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
                     N: int = 1000000, parallel: bool = False,
                     mission: str = "TESS", flatpriors: bool = False,
-                    exptime: float = 0.00139, nsamples: int = 20, key=None):
+                    exptime: float = 0.00139, nsamples: int = 20, key=None,
+            importance_sampling: bool = True):
     """NEB for subgiants + twin (reference ml.py:2969-3178, quirks
     documented in the sampler)."""
     M_s = (10**3.0) * (R_s * RSUN) ** 2 / G / MSUN
@@ -654,23 +683,23 @@ def lnZ_NEB_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
     u1, u2 = lookup_target(Z, Teff, 3.0, mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_neb_evolved(_key(key), P_lo, P_hi, F32(M_s), F32(R_s),
-                               F32(Teff), N=N)
+                               F32(Teff), N=N, stratified=importance_sampling)
     u1a, u2a = _u_arrays(u1, u2, N)
     zero = jnp.zeros((N,), jnp.float32)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 n_t, nsamples, chunk, zero,
+                                 exptime, n_t, nsamples, chunk, zero,
                                  k_twin=d["k_twin"], ksec_twin=d["ksec_twin"])
-    gnames = ("P", "incs", "b", "b_twin", "eccs", "argps", "masses", "radii",
-              "fluxratios")
-    lnZ, g = eng.run_finalize(lnL, zero, _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, zero, _gd(d, *gnames))
+    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
+              "masses", "radii", "fluxratios")
+    lnZ, g = eng.run_finalize(lnL, d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], _gd(d, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros(), fluxratio_comp=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                      "ecc": g["eccs"], "argp": g["argps"],
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
                            "b": gt["b_twin"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": np.full(N_SAMPLES, R_s),

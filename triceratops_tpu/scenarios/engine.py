@@ -12,9 +12,21 @@ keep all N-draw arrays on device:
   3. ``finalize``: masked log-mean-exp evidence + top-100 best-fit gather
      (reference marginal_likelihoods.py:152-172).
 
-The reference's per-draw quantities and masks are reproduced exactly
-(file:line citations at each step); RNG is keyed (not a global stream) so
-only distributional equivalence holds, as required by SURVEY.md section 7.
+Geometric importance sampling (``stratified=True``, the default): the
+reference samples cos(inc) ~ U[0,1] and rejects the ~(1 - Ptra) fraction
+of draws that never transit (ml.py:120-123), wasting most of the compute.
+Here cos(inc) is drawn from U[0, min(Ptra, 1)] and the draw re-weighted
+by ln w = ln min(Ptra, 1), an exact reweighting of the same marginal
+integral: every surviving lane carries signal, reducing both wasted FLOPs
+and Monte-Carlo variance by ~1/E[Ptra] (typically 10-30x). Draws with
+Ptra > 1 keep the reference's exclusion quirk (zero weight). With
+``stratified=False`` the reference's plain rejection scheme is used
+bit-for-bit in structure; both modes agree within MC noise
+(tests/test_scenarios.py).
+
+The reference's per-draw quantities and masks are otherwise reproduced
+exactly (file:line citations at each step); RNG is keyed (not a global
+stream) so only distributional equivalence holds (SURVEY.md section 7).
 """
 
 from __future__ import annotations
@@ -37,8 +49,7 @@ from ..priors.companion import (
 from ..populations.stellar import stellar_relations, flux_relation
 from ..populations.ldc import round_index_comp
 from ..ops.lightcurve import (
-    lnL_planet, lnL_eb, eb_radius_ratios, tp_dilution, eb_dilution,
-    supersample_times,
+    eb_radius_ratios, tp_dilution, eb_dilution,
 )
 
 F32 = jnp.float32
@@ -63,20 +74,40 @@ def _semimajor(P_days, M_tot_msun):
     return ((G * M_tot_msun * MSUN) / (4 * PI**2) * (P_days * 86400.0) ** 2) ** (1.0 / 3.0)
 
 
-def _geometry(P, M_tot, R_host_rsun, R_occ_cm, eccs, argps_deg, incs_deg):
-    """a, Ptra, b, coll, transit mask (reference ml.py:107-123)."""
+def _geom_base(P, M_tot, R_host_rsun, R_occ_cm, eccs, argps_deg):
+    """a [cm], Ptra, coll, r [cm] (reference ml.py:107-115)."""
     a = _semimajor(P, M_tot)
     sin_argp = jnp.sin(argps_deg * PI / 180.0)
     e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
     R_host_cm = R_host_rsun * RSUN
     Ptra = (R_occ_cm + R_host_cm) / a * e_corr
     r = a * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
-    b = r * jnp.cos(incs_deg * PI / 180.0) / R_host_cm
     coll = (R_occ_cm + R_host_cm) > a * (1.0 - eccs)
-    # reference: inc_min = 90 unless Ptra <= 1, so Ptra > 1 never transits
-    # (ml.py:120-123); incs >= arccos(Ptra) <=> cos(incs) <= Ptra
-    transits = (Ptra <= 1.0) & (jnp.cos(incs_deg * PI / 180.0) <= Ptra)
-    return a, Ptra, b, coll, transits
+    return a, Ptra, coll, r
+
+
+def _inc_weighted(u_inc, Ptra, stratified: bool):
+    """Inclination draw + geometric transit handling.
+
+    stratified: cos(inc) ~ U[0, min(Ptra,1)], ln-weight = ln min(Ptra,1);
+    plain: cos(inc) ~ U[0,1] with the reference's rejection mask
+    (inc >= arccos(Ptra), Ptra <= 1; ml.py:120-123). Returns
+    (incs_deg, tra_ok, lnw)."""
+    if stratified:
+        w = jnp.minimum(Ptra, 1.0)
+        cosi = u_inc * w
+        incs_deg = jnp.arccos(cosi) * (180.0 / PI)
+        tra_ok = Ptra <= 1.0
+        lnw = jnp.log(w)
+        return incs_deg, tra_ok, lnw
+    incs_deg = sample_inc(u_inc)
+    cosi = jnp.cos(incs_deg * PI / 180.0)
+    tra_ok = (Ptra <= 1.0) & (cosi <= Ptra)
+    return incs_deg, tra_ok, jnp.zeros_like(Ptra)
+
+
+def _impact_param(r_cm, incs_deg, R_host_rsun):
+    return r_cm * jnp.cos(incs_deg * PI / 180.0) / (R_host_rsun * RSUN)
 
 
 def _kernel_angles(incs_deg, argps_deg):
@@ -99,7 +130,7 @@ def _companion_prior_bound(kind, M_s, plx, masses_comp, fluxratios_comp,
 
     kind: 'TP' or 'EB'. When cc_filt is None the TESS-band flux ratios
     define delta_mag and (seps, cons) = ([2.2], [1.0]); otherwise the
-    contrast-curve filter band is used. Returns (lnprior, delta_mags)."""
+    contrast-curve filter band is used."""
     if cc_filt is None:
         fr = fluxratios_comp
     else:
@@ -113,11 +144,7 @@ def _companion_prior_bound(kind, M_s, plx, masses_comp, fluxratios_comp,
 def _background_prior(has_cc, N_comp, fluxratios_draw, delta_band_draw,
                       seps, cons, extra_fluxratio=None):
     """Background-star prior block for D*/B* scenarios
-    (reference ml.py:1466-1492, :1929-1955, :2184-2209).
-
-    Without a contrast curve: constant ln((N_comp/0.1)(1/3600)^2 2.2^2)
-    with delta_mag from the TESS-band flux ratio (+ EB term for BEB).
-    With one: per-draw band delta-mags -> lnprior_background."""
+    (reference ml.py:1466-1492, :1929-1955, :2184-2209)."""
     if not has_cc:
         fr_tot = fluxratios_draw / (1.0 - fluxratios_draw)
         if extra_fluxratio is not None:
@@ -155,32 +182,33 @@ def run_finalize(lnL, lnprior, gather: dict):
 
 
 # ---------------------------------------------------------------------------
-# Samplers (jitted per scenario family)
+# Planet-family samplers
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("N", "flatpriors"))
-def sample_planet_target(key, P_lo, P_hi, M_s, R_s, *, N, flatpriors):
+@partial(jax.jit, static_argnames=("N", "flatpriors", "stratified"))
+def sample_planet_target(key, P_lo, P_hi, M_s, R_s, *, N, flatpriors,
+                         stratified=True):
     """Draws for TTP / NTP / NTP_evolved-style scenarios: planet around a
     star with fixed properties (reference ml.py:100-123)."""
     u = _uniforms(key, 5, N)
     P = _draw_P(u[0], P_lo, P_hi)
     rps = sample_rp(u[1], jnp.full((N,), M_s, F32), flatpriors)
-    incs = sample_inc(u[2])
     eccs = sample_ecc(u[3], True, jnp.mean(P))
     argps = sample_w(u[4])
-    a, Ptra, b, coll, transits = _geometry(
-        P, M_s, R_s, rps * REARTH, eccs, argps, incs)
-    mask = transits & ~coll
+    a, Ptra, coll, r = _geom_base(P, M_s, R_s, rps * REARTH, eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[2], Ptra, stratified)
+    b = _impact_param(r, incs, R_s)
+    mask = tra_ok & ~coll
     inc_rad, w_rad = _kernel_angles(incs, argps)
-    k = rps * REARTH / (R_s * RSUN)
     return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
-                mask=mask, inc_rad=inc_rad, w_rad=w_rad, k=k,
-                a_R=a / (R_s * RSUN))
+                mask=mask, lnw=lnw, inc_rad=inc_rad, w_rad=w_rad,
+                k=rps * REARTH / (R_s * RSUN), a_R=a / (R_s * RSUN))
 
 
-@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt"))
+@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt",
+                                   "stratified"))
 def sample_ptp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
-               *, N, flatpriors, use_molusc, cc_filt):
+               *, N, flatpriors, use_molusc, cc_filt, stratified=True):
     """PTP: planet around target + unresolved bound companion
     (reference ml.py:386-586)."""
     u = _uniforms(key, 6, N)
@@ -189,8 +217,6 @@ def sample_ptp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
     else:
         qs_comp = sample_q_companion(u[5], M_s)
     masses_comp = qs_comp * M_s
-    _radii_comp, _teffs_comp = stellar_relations(
-        masses_comp, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
     fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
     if use_molusc:
         lnprior = jnp.zeros((N,), F32)
@@ -199,25 +225,26 @@ def sample_ptp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
             "TP", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
     P = _draw_P(u[0], P_lo, P_hi)
     rps = sample_rp(u[1], jnp.full((N,), M_s, F32), flatpriors)
-    incs = sample_inc(u[2])
     eccs = sample_ecc(u[3], True, jnp.mean(P))
     argps = sample_w(u[4])
-    a, Ptra, b, coll, transits = _geometry(
-        P, M_s, R_s, rps * REARTH, eccs, argps, incs)
-    mask = transits & ~coll & (qs_comp != 0.0)
+    a, Ptra, coll, r = _geom_base(P, M_s, R_s, rps * REARTH, eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[2], Ptra, stratified)
+    b = _impact_param(r, incs, R_s)
+    mask = tra_ok & ~coll & (qs_comp != 0.0)
     inc_rad, w_rad = _kernel_angles(incs, argps)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g = tp_dilution(F_comp, companion_is_host=False)
     return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
-                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                mask=mask, lnw=lnw, inc_rad=inc_rad, w_rad=w_rad,
                 k=rps * REARTH / (R_s * RSUN), a_R=a / (R_s * RSUN),
                 g=g, lnprior=lnprior, fluxratios_comp=fluxratios_comp)
 
 
-@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt"))
+@partial(jax.jit, static_argnames=("N", "flatpriors", "use_molusc", "cc_filt",
+                                   "stratified"))
 def sample_stp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
                u1_tab, u2_tab, seps, cons, *, N, flatpriors, use_molusc,
-               cc_filt):
+               cc_filt, stratified=True):
     """STP: planet around the unresolved bound companion; per-draw LDC via
     clamped rounding on the nearest-Z grid slice (reference ml.py:869-1077,
     LDC rounding :961-972)."""
@@ -243,34 +270,36 @@ def sample_stp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
             "TP", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
     P = _draw_P(u[0], P_lo, P_hi)
     rps = sample_rp(u[1], masses_comp, flatpriors)
-    incs = sample_inc(u[2])
     eccs = sample_ecc(u[3], True, jnp.mean(P))
     argps = sample_w(u[4])
-    a, Ptra, b, coll, transits = _geometry(
-        P, masses_comp, radii_comp, rps * REARTH, eccs, argps, incs)
-    mask = transits & ~coll & (qs_comp != 0.0)
+    a, Ptra, coll, r = _geom_base(P, masses_comp, radii_comp, rps * REARTH,
+                                  eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[2], Ptra, stratified)
+    b = _impact_param(r, incs, radii_comp)
+    mask = tra_ok & ~coll & (qs_comp != 0.0)
     inc_rad, w_rad = _kernel_angles(incs, argps)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g = tp_dilution(F_comp, companion_is_host=True)
     return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
-                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                mask=mask, lnw=lnw, inc_rad=inc_rad, w_rad=w_rad,
                 k=rps * REARTH / (radii_comp * RSUN),
                 a_R=a / (radii_comp * RSUN), g=g, lnprior=lnprior,
                 fluxratios_comp=fluxratios_comp, masses_comp=masses_comp,
                 radii_comp=radii_comp, u1s=u1s, u2s=u2s)
 
 
-@partial(jax.jit, static_argnames=("N", "flatpriors", "has_cc", "host_is_bg"))
+@partial(jax.jit, static_argnames=("N", "flatpriors", "has_cc", "host_is_bg",
+                                   "stratified"))
 def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
-                             *, N, flatpriors, has_cc, host_is_bg):
+                             *, N, flatpriors, has_cc, host_is_bg,
+                             stratified=True):
     """DTP (host_is_bg=False) and BTP (host_is_bg=True): planet around the
     target diluted by a TRILEGAL background star, or around the background
     star itself (reference ml.py:1379-1568 DTP, :1840-2035 BTP).
 
-    bg: dict of per-background-star device arrays (fluxratios, band delta
-    mags, masses, radii, loggs, teffs, u1s, u2s). The draw index quirk is
-    preserved: DTP uses randint high = N_comp - 1 (exclusive -> last star
-    never drawn, ml.py:1463), BTP uses high = N_comp (ml.py:1926)."""
+    The draw-index quirk is preserved: DTP uses randint high = N_comp - 1
+    (exclusive -> last star never drawn, ml.py:1463), BTP uses
+    high = N_comp (ml.py:1926)."""
     u = _uniforms(key, 5, N)
     key_idx = jax.random.fold_in(key, 777)
     N_comp = bg["fluxratios"].shape[0]
@@ -294,15 +323,16 @@ def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
         pop_ok = jnp.ones((N,), bool)
         g = tp_dilution(fluxratios_draw / (1.0 - fluxratios_draw), False)
     rps = sample_rp(u[1], host_mass, flatpriors)
-    incs = sample_inc(u[2])
     eccs = sample_ecc(u[3], True, jnp.mean(P))
     argps = sample_w(u[4])
-    a, Ptra, b, coll, transits = _geometry(
-        P, host_mass, host_rad, rps * REARTH, eccs, argps, incs)
-    mask = transits & ~coll & pop_ok
+    a, Ptra, coll, r = _geom_base(P, host_mass, host_rad, rps * REARTH,
+                                  eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[2], Ptra, stratified)
+    b = _impact_param(r, incs, host_rad)
+    mask = tra_ok & ~coll & pop_ok
     inc_rad, w_rad = _kernel_angles(incs, argps)
     out = dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
-               mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+               mask=mask, lnw=lnw, inc_rad=inc_rad, w_rad=w_rad,
                k=rps * REARTH / (host_rad * RSUN),
                a_R=a / (host_rad * RSUN), g=g, lnprior=lnprior,
                fluxratios_comp=fluxratios_draw, idxs=idxs,
@@ -312,8 +342,9 @@ def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
     return out
 
 
-@partial(jax.jit, static_argnames=("N", "flatpriors"))
-def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors):
+@partial(jax.jit, static_argnames=("N", "flatpriors", "stratified"))
+def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors,
+                       stratified=True):
     """NTP for a star of unknown properties: host drawn from the TRILEGAL
     Tmag +/- 1 lookalike population, no dilution
     (reference ml.py:2365-2551)."""
@@ -327,15 +358,16 @@ def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors):
     pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
     P = _draw_P(u[0], P_lo, P_hi)
     rps = sample_rp(u[1], host_mass, flatpriors)
-    incs = sample_inc(u[2])
     eccs = sample_ecc(u[3], True, jnp.mean(P))
     argps = sample_w(u[4])
-    a, Ptra, b, coll, transits = _geometry(
-        P, host_mass, host_rad, rps * REARTH, eccs, argps, incs)
-    mask = transits & ~coll & pop_ok
+    a, Ptra, coll, r = _geom_base(P, host_mass, host_rad, rps * REARTH,
+                                  eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[2], Ptra, stratified)
+    b = _impact_param(r, incs, host_rad)
+    mask = tra_ok & ~coll & pop_ok
     inc_rad, w_rad = _kernel_angles(incs, argps)
     return dict(P=P, rps=rps, incs=incs, eccs=eccs, argps=argps, a=a, b=b,
-                mask=mask, inc_rad=inc_rad, w_rad=w_rad,
+                mask=mask, lnw=lnw, inc_rad=inc_rad, w_rad=w_rad,
                 k=rps * REARTH / (host_rad * RSUN),
                 a_R=a / (host_rad * RSUN), idxs=idxs,
                 host_mass=host_mass, host_rad=host_rad, u1s=u1s, u2s=u2s,
@@ -344,31 +376,55 @@ def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors):
 
 # --------------------------- EB-family samplers ----------------------------
 
-def _eb_twin_geometry(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg,
-                      incs_deg, twin_R_occ_cm):
-    """Normal + twin-branch geometry for EB scenarios. The twin branch uses
-    2P and a collision radius of 2*R_host (reference ml.py:253-268)."""
-    a, Ptra, b, coll, transits = _geometry(
-        P, M_tot, R_host_rsun, radii_rsun * RSUN, eccs, argps_deg, incs_deg)
+def _eb_branches(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg, u_inc,
+                 twin_R_occ_cm, stratified):
+    """Normal + twin-branch geometry for EB scenarios. The twin branch
+    uses 2P and the caller-provided collision/transit radius
+    (reference ml.py:253-268). Returns two dicts of per-branch arrays."""
+    a, Ptra, coll, r = _geom_base(P, M_tot, R_host_rsun, radii_rsun * RSUN,
+                                  eccs, argps_deg)
+    incs, tra_ok, lnw = _inc_weighted(u_inc, Ptra, stratified)
+    b = _impact_param(r, incs, R_host_rsun)
+
     a_twin = _semimajor(2.0 * P, M_tot)
     sin_argp = jnp.sin(argps_deg * PI / 180.0)
     e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
     R_host_cm = R_host_rsun * RSUN
     Ptra_twin = (radii_rsun * RSUN + R_host_cm) / a_twin * e_corr
     r_twin = a_twin * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
-    b_twin = r_twin * jnp.cos(incs_deg * PI / 180.0) / R_host_cm
     coll_twin = twin_R_occ_cm > a_twin * (1.0 - eccs)
-    transits_twin = (Ptra_twin <= 1.0) & (jnp.cos(incs_deg * PI / 180.0) <= Ptra_twin)
-    return a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin
+    incs_t, tra_ok_t, lnw_t = _inc_weighted(u_inc, Ptra_twin, stratified)
+    b_twin = _impact_param(r_twin, incs_t, R_host_rsun)
+    nb = dict(a=a, incs=incs, b=b, geo_ok=tra_ok & ~coll, lnw=lnw)
+    tb = dict(a=a_twin, incs=incs_t, b=b_twin, geo_ok=tra_ok_t & ~coll_twin,
+              lnw=lnw_t)
+    return nb, tb
 
 
-@partial(jax.jit, static_argnames=("N",))
-def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
+def _eb_pack(d, P, incs_pair, qs, eccs, argps, masses, radii, fluxratios,
+             nb, tb, R_host_rsun, kk, ksec, g_pri, g_sec, extra_ok):
+    inc_rad, w_rad = _kernel_angles(nb["incs"], argps)
+    inc_rad_t, _ = _kernel_angles(tb["incs"], argps)
+    d.update(
+        P=P, incs=nb["incs"], incs_twin=tb["incs"], qs=qs, eccs=eccs,
+        argps=argps, masses=masses, radii=radii, fluxratios=fluxratios,
+        a=nb["a"], b=nb["b"], a_twin=tb["a"], b_twin=tb["b"],
+        mask=nb["geo_ok"] & (qs < 0.95) & extra_ok,
+        mask_twin=tb["geo_ok"] & (qs >= 0.95) & extra_ok,
+        lnw=nb["lnw"], lnw_twin=tb["lnw"],
+        inc_rad=inc_rad, inc_rad_twin=inc_rad_t, w_rad=w_rad,
+        k=kk, ksec=ksec, g_pri=g_pri, g_sec=g_sec,
+        a_R=nb["a"] / (R_host_rsun * RSUN),
+        a_R_twin=tb["a"] / (R_host_rsun * RSUN))
+    return d
+
+
+@partial(jax.jit, static_argnames=("N", "stratified"))
+def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N, stratified=True):
     """TEB / NEB: target (or nearby star) is an eclipsing binary
     (reference ml.py:175-383)."""
     u = _uniforms(key, 5, N)
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], M_s)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -376,31 +432,22 @@ def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
     radii, _teffs = stellar_relations(
         masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
     fluxratios = _fluxratio_vs_target(masses, M_s)
-    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
-        _eb_twin_geometry(P, M_s + masses, R_s, radii, eccs, argps, incs,
-                          2.0 * R_s * RSUN))
-    inc_rad, w_rad = _kernel_angles(incs, argps)
+    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
+                          2.0 * R_s * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
     g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    mask = transits & ~coll & (qs < 0.95)
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95)
-    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-                masses=masses, radii=radii, fluxratios=fluxratios,
-                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=mask, mask_twin=mask_twin,
-                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-                g_pri=g_pri, g_sec=g_sec,
-                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+    return _eb_pack({}, P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, tb, R_s, kk, ksec, g_pri, g_sec,
+                    jnp.ones((N,), bool))
 
 
-@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt"))
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified"))
 def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
-               *, N, use_molusc, cc_filt):
+               *, N, use_molusc, cc_filt, stratified=True):
     """PEB: target EB + unresolved bound companion (reference ml.py:589-866)."""
     u = _uniforms(key, 6, N)
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], M_s)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -419,36 +466,27 @@ def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
     else:
         lnprior = _companion_prior_bound(
             "EB", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
-    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
-        _eb_twin_geometry(P, M_s + masses, R_s, radii, eccs, argps, incs,
-                          2.0 * R_s * RSUN))
-    inc_rad, w_rad = _kernel_angles(incs, argps)
+    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
+                          2.0 * R_s * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g_pri, g_sec = eb_dilution(F_EB, F_comp, False)
-    mask = transits & ~coll & (qs < 0.95) & (qs_comp != 0.0)
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & (qs_comp != 0.0)
-    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-                masses=masses, radii=radii, fluxratios=fluxratios,
-                fluxratios_comp=fluxratios_comp, lnprior=lnprior,
-                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=mask, mask_twin=mask_twin,
-                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-                g_pri=g_pri, g_sec=g_sec,
-                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+    return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior),
+                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, tb, R_s, kk, ksec, g_pri, g_sec, qs_comp != 0.0)
 
 
-@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt"))
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified"))
 def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
-               u1_tab, u2_tab, seps, cons, *, N, use_molusc, cc_filt):
+               u1_tab, u2_tab, seps, cons, *, N, use_molusc, cc_filt,
+               stratified=True):
     """SEB: the unresolved bound companion is itself an EB
     (reference ml.py:1080-1376). Note the EB flux ratio denominator uses
     the *target* mass (ml.py:1193-1196) and the companion prior uses the
     combined companion+EB delta-mag (ml.py:1200-1235)."""
     u = _uniforms(key, 6, N)
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], M_s)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -472,7 +510,6 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
     if use_molusc:
         lnprior = jnp.zeros((N,), F32)
     else:
-        # combined delta-mag of companion + EB (ml.py:1200-1235)
         if cc_filt is None:
             fr_c, fr_e = fluxratios_comp, fluxratios
         else:
@@ -481,37 +518,28 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
         delta_mags = 2.5 * jnp.log10(fr_c / (1.0 - fr_c) + fr_e / (1.0 - fr_e))
         lnp = lnprior_bound_EB(M_s, plx, jnp.abs(delta_mags), seps, cons)
         lnprior = clamp_companion_prior(lnp, delta_mags)
-    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
-        _eb_twin_geometry(P, masses_comp + masses, radii_comp, radii, eccs,
-                          argps, incs, 2.0 * radii_comp * RSUN))
-    inc_rad, w_rad = _kernel_angles(incs, argps)
+    nb, tb = _eb_branches(P, masses_comp + masses, radii_comp, radii, eccs,
+                          argps, u[1], 2.0 * radii_comp * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, radii_comp)
     F_EB = fluxratios / (1.0 - fluxratios)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g_pri, g_sec = eb_dilution(F_EB, F_comp, True)
-    mask = transits & ~coll & (qs < 0.95) & (qs_comp != 0.0)
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & (qs_comp != 0.0)
-    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-                masses=masses, radii=radii, fluxratios=fluxratios,
-                fluxratios_comp=fluxratios_comp, lnprior=lnprior,
-                masses_comp=masses_comp, radii_comp=radii_comp,
-                u1s=u1s, u2s=u2s,
-                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=mask, mask_twin=mask_twin,
-                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-                g_pri=g_pri, g_sec=g_sec,
-                a_R=a / (radii_comp * RSUN),
-                a_R_twin=a_twin / (radii_comp * RSUN))
+    return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior,
+                         masses_comp=masses_comp, radii_comp=radii_comp,
+                         u1s=u1s, u2s=u2s),
+                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, tb, radii_comp, kk, ksec, g_pri, g_sec,
+                    qs_comp != 0.0)
 
 
-@partial(jax.jit, static_argnames=("N", "has_cc", "host_is_bg", "cc_filt"))
+@partial(jax.jit, static_argnames=("N", "has_cc", "host_is_bg", "cc_filt",
+                                   "stratified"))
 def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
-                         *, N, has_cc, host_is_bg, cc_filt="TESS"):
+                         *, N, has_cc, host_is_bg, cc_filt="TESS",
+                         stratified=True):
     """DEB (host_is_bg=False) and BEB (host_is_bg=True)
     (reference ml.py:1571-1837 DEB, :2038-2362 BEB). BEB applies the
-    distance correction to the EB flux ratio (ml.py:2146-2159) and samples
-    qs with M_s = target mass in DEB but the background star in BEB via
-    qs*masses_comp."""
+    distance correction to the EB flux ratio (ml.py:2146-2159)."""
     u = _uniforms(key, 5, N)
     key_idx = jax.random.fold_in(key, 777)
     N_comp = bg["fluxratios"].shape[0]
@@ -519,7 +547,6 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
     idxs = jax.random.randint(key_idx, (N,), 0, hi)
     fluxratios_draw = bg["fluxratios"][idxs]
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], M_s)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -530,7 +557,6 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
         pop_ok = (bg["loggs"][idxs] >= 3.5) & (bg["teffs"][idxs] <= 10000.0)
         masses = qs * host_mass
         radii, _ = stellar_relations(masses, host_rad, bg["teffs"][idxs], xp=jnp)
-        # distance-corrected EB flux ratio (ml.py:2146-2159)
         fr_bound = _fluxratio_vs_target(host_mass, M_s)
         dist_corr = fluxratios_draw / fr_bound
         fluxratios = _fluxratio_vs_target(masses, M_s) * dist_corr
@@ -571,29 +597,20 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
     else:
         lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
                                     bg["delta_band"][idxs], seps, cons)
-    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
-        _eb_twin_geometry(P, host_mass + masses, host_rad, radii, eccs,
-                          argps, incs, 2.0 * host_rad * RSUN))
-    inc_rad, w_rad = _kernel_angles(incs, argps)
+    nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
+                          argps, u[1], 2.0 * host_rad * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, host_rad)
-    mask = transits & ~coll & (qs < 0.95) & pop_ok
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & pop_ok
-    out = dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-               masses=masses, radii=radii, fluxratios=fluxratios,
-               fluxratios_comp=fluxratios_draw, lnprior=lnprior,
-               a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-               mask=mask, mask_twin=mask_twin, idxs=idxs,
-               inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-               g_pri=g_pri, g_sec=g_sec,
-               a_R=a / (host_rad * RSUN), a_R_twin=a_twin / (host_rad * RSUN),
-               host_mass=host_mass, host_rad=host_rad)
+    d = dict(fluxratios_comp=fluxratios_draw, lnprior=lnprior, idxs=idxs,
+             host_mass=host_mass, host_rad=host_rad)
     if u1s is not None:
-        out["u1s"], out["u2s"] = u1s, u2s
-    return out
+        d["u1s"], d["u2s"] = u1s, u2s
+    return _eb_pack(d, P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
 
 
-@partial(jax.jit, static_argnames=("N",))
-def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
+@partial(jax.jit, static_argnames=("N", "stratified"))
+def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N,
+                       stratified=True):
     """NEB for subgiant stars (logg=3.0 assumption; M_s derived on host)
     (reference ml.py:2969-3178). Twin-branch quirks preserved: Ptra_twin
     uses (R_s + R_s) instead of (radii + R_s) (ml.py:3052) and the twin
@@ -601,7 +618,6 @@ def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
     before the 0.999 adjustment (ml.py:3100)."""
     u = _uniforms(key, 5, N)
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], 1.0)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -609,36 +625,42 @@ def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N):
     radii, _ = stellar_relations(
         masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
     fluxratios = _fluxratio_vs_target(masses, M_s)
-    a, _Ptra, b, coll, transits = _geometry(
-        P, M_s + masses, R_s, radii * RSUN, eccs, argps, incs)
+    # normal branch
+    a, Ptra, coll, r = _geom_base(P, M_s + masses, R_s, radii * RSUN,
+                                  eccs, argps)
+    incs, tra_ok, lnw = _inc_weighted(u[1], Ptra, stratified)
+    b = _impact_param(r, incs, R_s)
+    # twin branch with the 2*R_s quirks
     a_twin = _semimajor(2.0 * P, M_s + masses)
     sin_argp = jnp.sin(argps * PI / 180.0)
     e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
     Ptra_twin = (2.0 * R_s * RSUN) / a_twin * e_corr  # quirk: 2*R_s
     r_twin = a_twin * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
-    b_twin = r_twin * jnp.cos(incs * PI / 180.0) / (R_s * RSUN)
     coll_twin = (2.0 * R_s * RSUN) > a_twin * (1.0 - eccs)
-    transits_twin = (Ptra_twin <= 1.0) & (jnp.cos(incs * PI / 180.0) <= Ptra_twin)
+    incs_t, tra_ok_t, lnw_t = _inc_weighted(u[1], Ptra_twin, stratified)
+    b_twin = _impact_param(r_twin, incs_t, R_s)
     inc_rad, w_rad = _kernel_angles(incs, argps)
+    inc_rad_t, _ = _kernel_angles(incs_t, argps)
     kk, ksec = eb_radius_ratios(radii, R_s)
     # twin branch: R_EB = R_s exactly -> k = ksec = 1 -> 0.999 adjustment
     k_twin, ksec_twin = eb_radius_ratios(jnp.full((N,), R_s, F32), R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
     g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    mask = transits & ~coll & (qs < 0.95)
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95)
-    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-                masses=masses, radii=radii, fluxratios=fluxratios,
+    return dict(P=P, incs=incs, incs_twin=incs_t, qs=qs, eccs=eccs,
+                argps=argps, masses=masses, radii=radii,
+                fluxratios=fluxratios,
                 a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=mask, mask_twin=mask_twin,
-                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-                k_twin=k_twin, ksec_twin=ksec_twin,
+                mask=tra_ok & ~coll & (qs < 0.95),
+                mask_twin=tra_ok_t & ~coll_twin & (qs >= 0.95),
+                lnw=lnw, lnw_twin=lnw_t,
+                inc_rad=inc_rad, inc_rad_twin=inc_rad_t, w_rad=w_rad,
+                k=kk, ksec=ksec, k_twin=k_twin, ksec_twin=ksec_twin,
                 g_pri=g_pri, g_sec=g_sec,
                 a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
 
 
-@partial(jax.jit, static_argnames=("N",))
-def sample_neb_unknown(key, P_lo, P_hi, pop, *, N):
+@partial(jax.jit, static_argnames=("N", "stratified"))
+def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True):
     """NEB for a star of unknown properties (reference ml.py:2554-2829).
     qs drawn with M_s=1.0; EB flux ratio is relative to the drawn host
     (ml.py:2672-2676)."""
@@ -651,7 +673,6 @@ def sample_neb_unknown(key, P_lo, P_hi, pop, *, N):
     u1s, u2s = pop["u1s"][idxs], pop["u2s"][idxs]
     pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
     P = _draw_P(u[0], P_lo, P_hi)
-    incs = sample_inc(u[1])
     qs = sample_q(u[2], 1.0)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
@@ -660,21 +681,13 @@ def sample_neb_unknown(key, P_lo, P_hi, pop, *, N):
     f_eb = flux_relation(masses, "TESS", xp=jnp)
     f_host = flux_relation(host_mass, "TESS", xp=jnp)
     fluxratios = f_eb / (f_eb + f_host)
-    (a, b, coll, transits, a_twin, b_twin, coll_twin, transits_twin) = (
-        _eb_twin_geometry(P, host_mass + masses, host_rad, radii, eccs,
-                          argps, incs, 2.0 * host_rad * RSUN))
-    inc_rad, w_rad = _kernel_angles(incs, argps)
+    nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
+                          argps, u[1], 2.0 * host_rad * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, host_rad)
     F_EB = fluxratios / (1.0 - fluxratios)
     g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    mask = transits & ~coll & (qs < 0.95) & pop_ok
-    mask_twin = transits_twin & ~coll_twin & (qs >= 0.95) & pop_ok
-    return dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps,
-                masses=masses, radii=radii, fluxratios=fluxratios,
-                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=mask, mask_twin=mask_twin, idxs=idxs,
-                inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
-                g_pri=g_pri, g_sec=g_sec,
-                a_R=a / (host_rad * RSUN), a_R_twin=a_twin / (host_rad * RSUN),
-                host_mass=host_mass, host_rad=host_rad, u1s=u1s, u2s=u2s,
-                g=jnp.ones((N,), F32), lnprior=jnp.zeros((N,), F32))
+    return _eb_pack(dict(idxs=idxs, host_mass=host_mass, host_rad=host_rad,
+                         u1s=u1s, u2s=u2s, g=jnp.ones((N,), F32),
+                         lnprior=jnp.zeros((N,), F32)),
+                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
