@@ -17,6 +17,22 @@ Usage mirrors the reference package::
     target.FPP, target.NFPP
 """
 
+import os as _os
+
+import jax as _jax
+
+# persistent XLA compilation cache: the ~20 jitted scenario programs
+# compile once per (shape, config) and are reused across processes
+try:
+    _cache_dir = _os.environ.get(
+        "TRICERATOPS_TPU_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "triceratops_tpu_xla"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from .frontend.target import target  # noqa: F401
 from .scenarios.api import (  # noqa: F401
     lnZ_TTP, lnZ_TEB, lnZ_PTP, lnZ_PEB, lnZ_STP, lnZ_SEB,

@@ -357,6 +357,8 @@ class target:
             print("No TRILEGAL results available: DTP, DEB, DEBx2P, BTP, "
                   "BEB, and BEBx2P get zero weight.")
 
+        deferred = []
+
         def put(j, ID, name, snum, res=None):
             targets[j] = int(ID)
             star_num[j] = snum
@@ -364,9 +366,9 @@ class target:
             if res is None:
                 lnZ[j] = -np.inf
             else:
-                for f in _RES_FIELDS:
-                    cols[f][j] = np.atleast_1d(res[f])[0]
-                lnZ[j] = res["lnZ"]
+                # results may hold device arrays; defer host conversion so
+                # subsequent scenario dispatches overlap with this compute
+                deferred.append((j, res))
 
         ikey = 0
 
@@ -520,6 +522,12 @@ class target:
                                         R_s, Teff, Z, **base, key=subkey())
                 put(16 + 3 * (i - 1), ID, "NEB", 1, res)
                 put(17 + 3 * (i - 1), ID, "NEBx2P", 1, res_t)
+
+        # materialize all deferred device results at once
+        for j, res in deferred:
+            for f in _RES_FIELDS:
+                cols[f][j] = float(np.atleast_1d(np.asarray(res[f]))[0])
+            lnZ[j] = float(res["lnZ"])
 
         relative_probs, _status = normalize_probabilities(lnZ)
         if _status == "anomaly":

@@ -171,8 +171,10 @@ def _molusc(molusc_file, M_s, N):
 
 
 def _res(lnZ, gathered, **fields):
+    """Assemble a best-fit result dict. Values may be jax device arrays
+    (converted lazily by callers) so scenario dispatches stay async."""
     out = dict(fields)
-    out.update({k: np.asarray(v) for k, v in gathered.items()})
+    out.update(gathered)
     out["lnZ"] = lnZ
     return out
 

@@ -174,11 +174,13 @@ def finalize(lnL, lnprior, gather_arrays, *, N: int):
 
 
 def run_finalize(lnL, lnprior, gather: dict):
+    """Dispatch finalize; returns device values (no host sync), so the
+    next scenario's work can be enqueued while this one computes.
+    Callers convert with float()/np.asarray() when needed."""
     names = list(gather.keys())
     lnZ, vals = finalize(lnL, lnprior, tuple(gather[n] for n in names),
                          N=lnL.shape[0])
-    out = {n: np.asarray(v) for n, v in zip(names, vals)}
-    return float(lnZ), out
+    return lnZ, dict(zip(names, vals))
 
 
 # ---------------------------------------------------------------------------
