@@ -139,11 +139,39 @@ def _mean_deficit(time, exptime, k, P, a_R, inc, e, w, u1, u2, n_t, ns,
     return fn(time, exptime, k, P, a_R, inc, e, w, u1, u2, n_t, ns)
 
 
+def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
+                 n_t, ns, interpret):
+    """Fused Pallas path: chi^2 directly from per-draw params
+    (ops/pallas_core.py); equivalent to the fast XLA path."""
+    from .pallas_core import chi2_supersampled
+
+    coeffs = cheb_deficit_coeffs(k, u1, u2)
+    cA, cB, zsplit, invA, invB, midA, midB = coeffs
+    if ns > 1:
+        h = exptime / 2.0
+        q0, q1, q2, front = exposure_z2_poly(time, h, P, a_R, inc, e, w)
+        offs, wgt = _gl_exposure_nodes(exptime, ns)
+    else:
+        z, front = projected_z(time[None, :], 0.0, P[:, None], a_R[:, None],
+                               inc[:, None], e[:, None], w[:, None])
+        q0 = z * z
+        q1 = jnp.zeros_like(q0)
+        q2 = jnp.zeros_like(q0)
+        offs, wgt = np.zeros(1, np.float32), np.ones(1, np.float32)
+    seg = jnp.stack([zsplit, invA, invB, midA, midB], axis=1)
+    return chi2_supersampled(
+        q0, q1, q2, front.astype(q0.dtype), cA, cB, seg, g[:, None],
+        obs_dev[None, :], offs=tuple(float(o) for o in offs),
+        wgts=tuple(float(x) for x in wgt), interpret=interpret)
+
+
 @partial(jax.jit,
-         static_argnames=("exptime", "n_t", "ns", "chunk", "exact"))
+         static_argnames=("exptime", "n_t", "ns", "chunk", "exact",
+                          "backend", "interpret"))
 def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
                *, exptime: float, n_t: int, ns: int, chunk: int = 4096,
-               exact: bool = False):
+               exact: bool = False, backend: str = "xla",
+               interpret: bool = False):
     """Transiting-planet family log-likelihoods for N draws.
 
     Returns lnL (N,) = -0.5 ln 2pi - ln sigma - 0.5 chi^2 for masked-in
@@ -151,15 +179,22 @@ def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
     N = k.shape[0]
     inv_sig2 = 1.0 / (sigma * sigma)
     ln_sigma = jnp.log(sigma)
+    if backend == "pallas":
+        chunk = -(-chunk // 256) * 256
     (k_, P_, aR_, inc_, e_, w_, u1_, u2_, g_, m_) = _pad_chunk(
         [k, P, a_R, inc, e, w, u1, u2, g, mask], N, chunk)
 
     def body(args):
         kc, Pc, ac, ic, ec, wc, u1c, u2c, gc, mc = args
-        D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c, u2c,
-                          n_t, ns, exact)
-        resid = obs_dev[None, :] + gc[:, None] * D
-        chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
+        if backend == "pallas" and not exact:
+            chi2 = _chi2_pallas(time, exptime, obs_dev, kc, Pc, ac, ic, ec,
+                                wc, u1c, u2c, gc, n_t, ns,
+                                interpret) * inv_sig2
+        else:
+            D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c,
+                              u2c, n_t, ns, exact)
+            resid = obs_dev[None, :] + gc[:, None] * D
+            chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
         lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
         return jnp.where(mc, lnL, -jnp.inf)
 
@@ -169,10 +204,11 @@ def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
 
 @partial(jax.jit,
          static_argnames=("exptime", "n_t", "ns", "chunk", "apply_veto",
-                          "exact"))
+                          "exact", "backend", "interpret"))
 def lnL_eb(time, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
            g_pri, g_sec, mask, *, exptime: float, n_t: int, ns: int,
-           chunk: int = 4096, apply_veto: bool = True, exact: bool = False):
+           chunk: int = 4096, apply_veto: bool = True, exact: bool = False,
+           backend: str = "xla", interpret: bool = False):
     """Eclipsing-binary family log-likelihoods for N draws.
 
     k is the (already quirk-adjusted) primary radius ratio, ksec the
@@ -184,16 +220,23 @@ def lnL_eb(time, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
     N = k.shape[0]
     inv_sig2 = 1.0 / (sigma * sigma)
     ln_sigma = jnp.log(sigma)
+    if backend == "pallas":
+        chunk = -(-chunk // 256) * 256
     sec_grid = jnp.asarray(SEC_GRID, dtype=time.dtype)
     (k_, ks_, P_, aR_, inc_, e_, w_, u1_, u2_, gp_, gs_, m_) = _pad_chunk(
         [k, ksec, P, a_R, inc, e, w, u1, u2, g_pri, g_sec, mask], N, chunk)
 
     def body(args):
         kc, ksc, Pc, ac, ic, ec, wc, u1c, u2c, gpc, gsc, mc = args
-        D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c, u2c,
-                          n_t, ns, exact)
-        resid = obs_dev[None, :] + gpc[:, None] * D
-        chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
+        if backend == "pallas" and not exact:
+            chi2 = _chi2_pallas(time, exptime, obs_dev, kc, Pc, ac, ic, ec,
+                                wc, u1c, u2c, gpc, n_t, ns,
+                                interpret) * inv_sig2
+        else:
+            D = _mean_deficit(time, exptime, kc, Pc, ac, ic, ec, wc, u1c,
+                              u2c, n_t, ns, exact)
+            resid = obs_dev[None, :] + gpc[:, None] * D
+            chi2 = jnp.sum(resid * resid, axis=1) * inv_sig2
         lnL = -0.5 * LN2PI - ln_sigma - 0.5 * chi2
         if apply_veto:
             # secondary eclipse scan: w + 180 deg, k -> ksec, no supersampling
