@@ -47,22 +47,11 @@ def build_fixtures(tmpdir="/tmp"):
         dec=-60.0, mass=M_s, rad=R_s, Teff=5950.0, plx=11.0,
         **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0})])
 
-    # synthetic TRILEGAL table (~3000 stars, typical 0.1 deg^2 field size)
-    n = 3000 + 2
-    mact = rng.uniform(0.2, 1.4, n)
-    df = pd.DataFrame({
-        "Gc": np.ones(n, int), "logAge": np.full(n, 9.0),
-        "[M/H]": rng.uniform(-0.6, 0.3, n), "m_ini": mact, "Mact": mact,
-        "logL": np.zeros(n),
-        "logTe": np.log10(np.clip(3000 + 4000 * mact, 2900, 9700)),
-        "logg": rng.uniform(3.6, 5.0, n),
-        "m-M0": np.full(n, 10.0), "Av": np.zeros(n),
-        "TESS": rng.uniform(9.7, 21.0, n),
-        "J": rng.uniform(9.0, 20.0, n), "H": rng.uniform(8.8, 19.8, n),
-        "Ks": rng.uniform(8.7, 19.7, n),
-    })
-    tri = f"{tmpdir}/bench_trilegal.csv"
-    df.to_csv(tri)
+    # synthetic background population (~3000 stars, typical 0.1 deg^2
+    # field size), physically consistent (populations/synthetic.py)
+    from triceratops_tpu.populations.synthetic import make_synthetic_trilegal
+    tri = make_synthetic_trilegal(f"{tmpdir}/bench_trilegal.csv",
+                                  Tmag_target=9.7, n_stars=3000, seed=42)
     return stars, tri, time, flux, sigma, P
 
 

@@ -22,21 +22,9 @@ REF = "/root/reference/examples"
 
 
 def make_trilegal(path, n_stars=3000, Tmag_target=10.0, seed=0):
-    rng = np.random.default_rng(seed)
-    n = n_stars + 2
-    mact = rng.uniform(0.2, 1.4, n)
-    df = pd.DataFrame({
-        "Gc": np.ones(n, int), "logAge": np.full(n, 9.0),
-        "[M/H]": rng.uniform(-0.6, 0.3, n), "m_ini": mact, "Mact": mact,
-        "logL": np.zeros(n),
-        "logTe": np.log10(np.clip(3000 + 4000 * mact, 2900, 9700)),
-        "logg": rng.uniform(3.6, 5.0, n), "m-M0": np.full(n, 10.0),
-        "Av": np.zeros(n),
-        "TESS": rng.uniform(Tmag_target, 21.0, n),
-        "J": rng.uniform(9.0, 20.0, n), "H": rng.uniform(8.8, 19.8, n),
-        "Ks": rng.uniform(8.7, 19.7, n)})
-    df.to_csv(path)
-    return path
+    from triceratops_tpu.populations.synthetic import make_synthetic_trilegal
+    return make_synthetic_trilegal(path, Tmag_target=Tmag_target,
+                                   n_stars=n_stars, seed=seed)
 
 
 def run_case(name, lc_file, stars_row, P_orb, tdepth, mission="TESS",
@@ -69,7 +57,7 @@ def main():
         dict(ID="11904151", Tmag=10.96, Jmag=9.889, Hmag=9.563, Kmag=9.496,
              ra=285.679, dec=50.241, mass=0.91, rad=1.065, Teff=5708.0,
              plx=5.88, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0}),
-        P_orb=0.837, tdepth=1.52e-4, mission="Kepler", exptime=0.0204,
+        P_orb=0.837, tdepth=1.52e-4, mission="Kepler",
         anchor="FPP 8.4e-6, NFPP 0 (BASELINE.md)")
     run_case(
         "TOI-465.01", "TOI465_01_lightcurve.csv",

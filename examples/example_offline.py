@@ -36,20 +36,9 @@ def make_field():
 
 
 def make_trilegal(path, Tmag=9.7, n=3000, seed=0):
-    rng = np.random.default_rng(seed)
-    m = n + 2
-    mact = rng.uniform(0.2, 1.4, m)
-    pd.DataFrame({
-        "Gc": np.ones(m, int), "logAge": np.full(m, 9.0),
-        "[M/H]": rng.uniform(-0.6, 0.3, m), "m_ini": mact, "Mact": mact,
-        "logL": np.zeros(m),
-        "logTe": np.log10(np.clip(3000 + 4000 * mact, 2900, 9700)),
-        "logg": rng.uniform(3.6, 5.0, m), "m-M0": np.full(m, 10.0),
-        "Av": np.zeros(m), "TESS": rng.uniform(Tmag, 21.0, m),
-        "J": rng.uniform(9.0, 20.0, m), "H": rng.uniform(8.8, 19.8, m),
-        "Ks": rng.uniform(8.7, 19.7, m),
-    }).to_csv(path)
-    return str(path)
+    from triceratops_tpu.populations.synthetic import make_synthetic_trilegal
+    return make_synthetic_trilegal(path, Tmag_target=Tmag, n_stars=n,
+                                   seed=seed)
 
 
 def make_lightcurve(P=3.2, rp_re=6.0, M_s=1.05, R_s=1.02, sigma=4e-4,

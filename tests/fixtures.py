@@ -31,26 +31,8 @@ def make_transit_lightcurve(n_t=120, P=3.0, M_s=1.0, R_s=1.0, rp_re=10.0,
 
 
 def make_trilegal_csv(path, n_stars=300, Tmag_target=10.0, seed=0):
-    """Synthetic TRILEGAL-like table parseable by trilegal_results
-    (columns as saved by save_trilegal; last two rows are dropped by the
-    parser like the reference's termination banner)."""
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    n = n_stars + 2
-    mact = rng.uniform(0.2, 1.5, n)
-    logte = np.log10(np.clip(3000 + 4000 * mact, 2900, 9800))
-    logg = rng.uniform(3.6, 5.0, n)
-    tmag = rng.uniform(Tmag_target, Tmag_target + 10, n)
-    j = tmag - rng.uniform(0.3, 1.2, n)
-    h = j - rng.uniform(0.05, 0.4, n)
-    ks = h - rng.uniform(0.02, 0.2, n)
-    df = pd.DataFrame({
-        "Gc": np.ones(n, int), "logAge": np.full(n, 9.0),
-        "[M/H]": rng.uniform(-0.5, 0.3, n), "m_ini": mact,
-        "Mact": mact, "logL": np.zeros(n), "logTe": logte, "logg": logg,
-        "m-M0": np.full(n, 10.0), "Av": np.zeros(n),
-        "TESS": tmag, "J": j, "H": h, "Ks": ks,
-    })
-    df.to_csv(path)
-    return str(path)
+    """Synthetic background population parseable by trilegal_results
+    (physically consistent; see populations/synthetic.py)."""
+    from triceratops_tpu.populations.synthetic import make_synthetic_trilegal
+    return make_synthetic_trilegal(path, Tmag_target=Tmag_target,
+                                   n_stars=n_stars, seed=seed)
