@@ -73,14 +73,18 @@ def cheb_deficit_coeffs(k, u1, u2):
             midA[:, 0], midB[:, 0])
 
 
-def _clenshaw(c, x):
-    """Evaluate sum_m c_m T_m(x); c: (chunk, M), x: (chunk, P)."""
+def _clenshaw_select(cA, cB, in_B, x):
+    """One Clenshaw pass with per-point segment selection: the recurrence
+    coefficient at each step is where(in_B, cB_m, cA_m). Exactly equal to
+    evaluating both series and selecting, at ~2/3 the cost."""
     b1 = jnp.zeros_like(x)
     b2 = jnp.zeros_like(x)
     two_x = 2.0 * x
     for m in range(M_CHEB - 1, 0, -1):
-        b1, b2 = c[:, m][:, None] + two_x * b1 - b2, b1
-    return c[:, 0][:, None] + x * b1 - b2
+        cm = jnp.where(in_B, cB[:, m][:, None], cA[:, m][:, None])
+        b1, b2 = cm + two_x * b1 - b2, b1
+    c0 = jnp.where(in_B, cB[:, 0][:, None], cA[:, 0][:, None])
+    return c0 + x * b1 - b2
 
 
 def cheb_deficit_eval(coeffs, z):
@@ -91,12 +95,7 @@ def cheb_deficit_eval(coeffs, z):
     xB = jnp.clip((z - midB[:, None]) * invB[:, None], -1.0, 1.0)
     in_B = z >= zs
     x = jnp.where(in_B, xB, xA)
-    # one Clenshaw pass with per-point coefficient selection would need a
-    # gather; evaluating both series is still ~4M flops/point, far below
-    # one kernel evaluation
-    DA = _clenshaw(cA, x)
-    DB = _clenshaw(cB, x)
-    D = jnp.where(in_B, DB, DA)
+    D = _clenshaw_select(cA, cB, in_B, x)
     return jnp.clip(D, 0.0, 1.0)
 
 

@@ -28,15 +28,17 @@ from .fastcore import M_CHEB
 DRAW_TILE = 256
 
 
-def _clenshaw_tile(c_ref, x):
-    """Clenshaw over the M_CHEB coefficient columns of c_ref (T, M)."""
+def _clenshaw_tile(cA_ref, cB_ref, in_B, x):
+    """One Clenshaw pass with per-point segment selection (see
+    fastcore._clenshaw_select)."""
     b1 = jnp.zeros_like(x)
     b2 = jnp.zeros_like(x)
     two_x = 2.0 * x
     for m in range(M_CHEB - 1, 0, -1):
-        cm = c_ref[:, m][:, None]
+        cm = jnp.where(in_B, cB_ref[:, m][:, None], cA_ref[:, m][:, None])
         b1, b2 = cm + two_x * b1 - b2, b1
-    return c_ref[:, 0][:, None] + x * b1 - b2
+    c0 = jnp.where(in_B, cB_ref[:, 0][:, None], cA_ref[:, 0][:, None])
+    return c0 + x * b1 - b2
 
 
 def _chi2_kernel(offs, wgts, q0_ref, q1_ref, q2_ref, front_ref, cA_ref,
@@ -63,9 +65,7 @@ def _chi2_kernel(offs, wgts, q0_ref, q1_ref, q2_ref, front_ref, cA_ref,
         xB = jnp.clip((z - midB) * invB, -1.0, 1.0)
         in_B = z >= zsplit
         x = jnp.where(in_B, xB, xA)
-        DA = _clenshaw_tile(cA_ref, x)
-        DB = _clenshaw_tile(cB_ref, x)
-        D = jnp.clip(jnp.where(in_B, DB, DA), 0.0, 1.0)
+        D = jnp.clip(_clenshaw_tile(cA_ref, cB_ref, in_B, x), 0.0, 1.0)
         Dbar = Dbar + wgts[s] * D
     Dbar = Dbar * front_ref[:, :]
     resid = obs_ref[0, :][None, :] + g_ref[:, 0][:, None] * Dbar

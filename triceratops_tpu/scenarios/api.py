@@ -71,7 +71,7 @@ def _lc(time, flux, exptime, nsamples):
     obs_dev = (np.asarray(flux, dtype=np.float64) - 1.0).astype(F32)
     n_t = len(time)
     n_ss = n_t * max(nsamples, 1)
-    chunk = int(max(256, min(8192, (1 << 22) // max(n_ss, 1))))
+    chunk = int(max(256, min(4096, (1 << 23) // max(n_ss, 1))))
     return jnp.asarray(time.astype(F32)), jnp.asarray(obs_dev), n_t, chunk
 
 
