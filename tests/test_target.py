@@ -142,6 +142,35 @@ class TestCalcProbs:
 
 
 class TestBehavioralFPP:
+    def test_deep_eclipse_high_fpp(self, trilegal):
+        """A 25%-deep eclipse cannot be a planet (R_p prior caps at 20
+        Rearth): the EB scenarios must dominate."""
+        import jax.numpy as jnp
+        from triceratops_tpu.constants import G, MSUN, RSUN
+        from triceratops_tpu.core.kepler import projected_z
+        from triceratops_tpu.ops.occult import occult_quad_deficit
+
+        time = np.linspace(-0.15, 0.15, 80)
+        P, M_s, R_s = 2.0, 1.0, 1.0
+        a = ((G * (M_s + 0.9) * MSUN) / (4 * np.pi**2)
+             * (P * 86400) ** 2) ** (1 / 3)
+        z, front = projected_z(jnp.asarray(time), 0.0, P,
+                               a / (R_s * RSUN), np.deg2rad(89.0), 0.0, 0.0)
+        D = np.asarray(occult_quad_deficit(
+            jnp.asarray(0.85), z, jnp.asarray(0.4), jnp.asarray(0.2)))
+        D = D * np.asarray(front)
+        # dilute an EB eclipse to a 25% observed dip
+        flux = 1.0 - 0.45 * D
+        sigma = 1e-3
+        flux = flux + np.random.default_rng(0).normal(0, sigma, 80)
+
+        t = target.from_stars(_stars_df(n_nearby=0), ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        t.calc_depths(tdepth=float((0.45 * D).max()))
+        t.calc_probs(time, flux, sigma, P_orb=P, N=30000, nsamples=2,
+                     verbose=0, key=jax.random.key(5))
+        assert t.FPP > 0.9, f"deep eclipse FPP={t.FPP}"
+
     def test_clean_planet_low_fpp(self, trilegal):
         """A clean deep transit on a bright single star should strongly
         favor the planet scenarios over EBs."""
