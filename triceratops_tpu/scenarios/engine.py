@@ -403,7 +403,7 @@ def _eb_branches(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg, u_inc,
     return nb, tb
 
 
-def _eb_pack(d, P, incs_pair, qs, eccs, argps, masses, radii, fluxratios,
+def _eb_pack(d, P, qs, eccs, argps, masses, radii, fluxratios,
              nb, tb, R_host_rsun, kk, ksec, g_pri, g_sec, extra_ok):
     inc_rad, w_rad = _kernel_angles(nb["incs"], argps)
     inc_rad_t, _ = _kernel_angles(tb["incs"], argps)
@@ -439,7 +439,7 @@ def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N, stratified=True):
     kk, ksec = eb_radius_ratios(radii, R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
     g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    return _eb_pack({}, P, None, qs, eccs, argps, masses, radii, fluxratios,
+    return _eb_pack({}, P, qs, eccs, argps, masses, radii, fluxratios,
                     nb, tb, R_s, kk, ksec, g_pri, g_sec,
                     jnp.ones((N,), bool))
 
@@ -475,7 +475,7 @@ def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g_pri, g_sec = eb_dilution(F_EB, F_comp, False)
     return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior),
-                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    P, qs, eccs, argps, masses, radii, fluxratios,
                     nb, tb, R_s, kk, ksec, g_pri, g_sec, qs_comp != 0.0)
 
 
@@ -529,7 +529,7 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
     return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior,
                          masses_comp=masses_comp, radii_comp=radii_comp,
                          u1s=u1s, u2s=u2s),
-                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    P, qs, eccs, argps, masses, radii, fluxratios,
                     nb, tb, radii_comp, kk, ksec, g_pri, g_sec,
                     qs_comp != 0.0)
 
@@ -606,7 +606,7 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
              host_mass=host_mass, host_rad=host_rad)
     if u1s is not None:
         d["u1s"], d["u2s"] = u1s, u2s
-    return _eb_pack(d, P, None, qs, eccs, argps, masses, radii, fluxratios,
+    return _eb_pack(d, P, qs, eccs, argps, masses, radii, fluxratios,
                     nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
 
 
@@ -691,5 +691,5 @@ def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True):
     return _eb_pack(dict(idxs=idxs, host_mass=host_mass, host_rad=host_rad,
                          u1s=u1s, u2s=u2s, g=jnp.ones((N,), F32),
                          lnprior=jnp.zeros((N,), F32)),
-                    P, None, qs, eccs, argps, masses, radii, fluxratios,
+                    P, qs, eccs, argps, masses, radii, fluxratios,
                     nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
