@@ -332,6 +332,11 @@ class target:
         """Compute scenario probabilities, FPP and NFPP
         (reference triceratops.py:673-1485). ``parallel`` is accepted for
         signature parity; the engine is always vectorized."""
+        if "tdepth" not in self.stars.columns:
+            raise RuntimeError(
+                "calc_depths(tdepth, ...) must be called before "
+                "calc_probs so each star's flux ratio and required "
+                "transit depth are known.")
         mask = ~np.isnan(time) & ~np.isnan(flux_0)
         time = np.asarray(time)[mask]
         flux_0 = np.asarray(flux_0)[mask]
