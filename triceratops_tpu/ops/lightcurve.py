@@ -101,15 +101,16 @@ def _mean_deficit_exact(time, exptime, k, P, a_R, inc, e, w, u1, u2,
     return D
 
 
-_GL_EXPO_MAX = 8
+_GL_EXPO_MAX = 6
 
 
 def _gl_exposure_nodes(exptime: float, ns: int):
     """Gauss-Legendre nodes/weights over one exposure.
 
     The reference integrates the exposure with an ns-point midpoint rule
-    (PyTransit supersampling); for ns above 8 an 8-point GL rule matches
-    the same integral to < 1e-7 flux at a quarter of the evaluations."""
+    (PyTransit supersampling); a low-order GL rule matches the same
+    integral to well below the kernel tolerance at a fraction of the
+    evaluations (gated by tests/test_fastcore.py)."""
     n_eff = min(ns, _GL_EXPO_MAX)
     x, wgt = np.polynomial.legendre.leggauss(n_eff)
     return (exptime / 2.0 * x).astype(np.float32), (wgt / 2.0).astype(np.float32)
