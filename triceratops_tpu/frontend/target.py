@@ -328,7 +328,8 @@ class target:
                    parallel: bool = False, drop_scenario: list = (),
                    verbose: int = 1, flatpriors: bool = False,
                    exptime: float = 0.00139, nsamples: int = 20,
-                   molusc_file: str = None, key=None):
+                   molusc_file: str = None, key=None,
+                   importance_sampling: bool = True):
         """Compute scenario probabilities, FPP and NFPP
         (reference triceratops.py:673-1485). ``parallel`` is accepted for
         signature parity; the engine is always vectorized."""
@@ -396,7 +397,8 @@ class target:
             Z = 0.0
             base = dict(N=N, parallel=parallel, mission=self.mission,
                         flatpriors=flatpriors, exptime=exptime,
-                        nsamples=nsamples)
+                        nsamples=nsamples,
+                        importance_sampling=importance_sampling)
             cc = dict(contrast_curve_file=contrast_curve_file, filt=filt)
 
             if i == 0:
