@@ -7,6 +7,11 @@ companion mass-ratio prior.
 
 Run:  python examples/example_contrast_curve.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 import pandas as pd

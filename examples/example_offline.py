@@ -8,6 +8,11 @@ against live MAST/TessCut/TRILEGAL services.
 
 Run:  python examples/example_offline.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 import pandas as pd
