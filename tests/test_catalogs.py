@@ -1,7 +1,5 @@
 """Published-catalog accessors (repackaged table_data ground truth)."""
 
-import numpy as np
-
 from triceratops_tpu.populations import catalogs
 
 

@@ -3,8 +3,6 @@
 import sys
 import os
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 

@@ -5,7 +5,6 @@ ingestion, synthetic population physical consistency."""
 import numpy as np
 import pandas as pd
 import jax.numpy as jnp
-import pytest
 
 from triceratops_tpu.constants import G, MSUN, RSUN
 from triceratops_tpu.populations.stellar import (

@@ -14,7 +14,6 @@ Run from the repo root:
 import sys
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 OUT_DIR = Path(__file__).resolve().parent.parent / "triceratops_tpu" / "data"

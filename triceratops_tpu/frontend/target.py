@@ -19,7 +19,7 @@ from scipy.special import ndtr
 
 import jax
 
-from ..constants import G, MSUN, RSUN, PI
+from ..constants import PI
 from ..core.numerics import normalize_probabilities
 from ..funcs import renorm_flux, save_trilegal, query_TRILEGAL, get_aperture
 from ..scenarios import api as sc

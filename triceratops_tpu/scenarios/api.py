@@ -24,7 +24,7 @@ from ..constants import G, MSUN, RSUN
 from ..funcs import file_to_contrast_curve, trilegal_results
 from ..populations.ldc import lookup_target, grid_at_Z, lookup_stars
 from ..populations.molusc import load_molusc_qs
-from ..ops.lightcurve import lnL_planet, lnL_eb, supersample_times
+from ..ops.lightcurve import lnL_planet, lnL_eb
 from . import engine as eng
 
 F32 = np.float32
