@@ -202,3 +202,30 @@ class TestBehavior:
                            contrast_curve_file=str(cc), filt="K",
                            N=20000, nsamples=NS, key=jax.random.key(22))
         assert r_cc["lnZ"] <= r_free["lnZ"] + 0.5
+
+
+class TestMissionsAndRanges:
+    def test_k2_mission_uses_kepler_grids(self, lc):
+        time, flux, sigma, _ = lc
+        r_k2 = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=N, nsamples=NS,
+                           mission="K2", key=jax.random.key(30))
+        r_kep = api.lnZ_TTP(time, flux, sigma, 3.0, **STAR, N=N, nsamples=NS,
+                            mission="Kepler", key=jax.random.key(30))
+        # same LDC table and draws -> identical results
+        assert r_k2["lnZ"] == r_kep["lnZ"]
+        assert r_k2["u1"][0] == r_kep["u1"][0]
+
+    def test_target_period_range(self, trilegal):
+        import pandas as pd
+        from triceratops_tpu import target as _t
+        stars = pd.DataFrame([dict(
+            ID="1", Tmag=10.0, Jmag=9.3, Hmag=9.1, Kmag=9.0, ra=1.0,
+            dec=1.0, mass=1.0, rad=1.0, Teff=5800.0, plx=20.0,
+            **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0})])
+        t = _t.from_stars(stars, ID=1, sectors=[1], trilegal_fname=trilegal)
+        t.calc_depths(tdepth=0.005)
+        time, flux, sigma, _ = make_transit_lightcurve(n_t=40)
+        t.calc_probs(time, flux, sigma, P_orb=[2.5, 3.5], N=2000,
+                     nsamples=2, verbose=0, key=jax.random.key(31))
+        assert 0.0 <= t.FPP <= 1.0
+        assert 2.5 <= t.probs["P_orb"].iloc[0] <= 7.0  # twin rows reach 2P

@@ -24,14 +24,6 @@ from ..core.numerics import normalize_probabilities
 from ..funcs import renorm_flux, save_trilegal, query_TRILEGAL, get_aperture
 from ..scenarios import api as sc
 
-# scenario table: (name, star_num, needs_trilegal, twin_of)
-_TARGET_SCENARIOS = [
-    ("TP", 1), ("EB", 1), ("EBx2P", 1),
-    ("PTP", 1), ("PEB", 1), ("PEBx2P", 1),
-    ("STP", 2), ("SEB", 2), ("SEBx2P", 2),
-    ("DTP", 1), ("DEB", 1), ("DEBx2P", 1),
-    ("BTP", 2), ("BEB", 2), ("BEBx2P", 2),
-]
 _RES_FIELDS = ["M_s", "R_s", "u1", "u2", "P_orb", "inc", "b", "R_p", "ecc",
                "argp", "M_EB", "R_EB", "fluxratio_EB", "fluxratio_comp"]
 
