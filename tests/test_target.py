@@ -182,3 +182,23 @@ class TestBehavioralFPP:
         t.calc_probs(time, flux, sigma, P_orb=3.0, N=50000, nsamples=2,
                      verbose=0, key=jax.random.key(2))
         assert t.FPP < 0.5
+
+
+class TestEnsemble:
+    def test_calc_probs_ensemble(self, trilegal):
+        t = target.from_stars(_stars_df(n_nearby=0), ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        t.calc_depths(tdepth=0.005)
+        time, flux, sigma, _ = make_transit_lightcurve(n_t=40, sigma=5e-4)
+        t.calc_probs_ensemble(time, flux, sigma, P_orb=3.0, n_runs=3,
+                              N=2000, nsamples=2, verbose=0,
+                              key=jax.random.key(9))
+        assert t.FPP_runs.shape == (3,)
+        assert 0.0 <= t.FPP <= 1.0
+        assert t.FPP_std >= 0.0
+        # deterministic given the key
+        fpp1 = t.FPP
+        t.calc_probs_ensemble(time, flux, sigma, P_orb=3.0, n_runs=3,
+                              N=2000, nsamples=2, verbose=0,
+                              key=jax.random.key(9))
+        assert t.FPP == fpp1

@@ -567,6 +567,31 @@ class target:
         else:
             self.NFPP = 0.0
 
+    def calc_probs_ensemble(self, time, flux_0, flux_err_0, P_orb,
+                            n_runs: int = 20, key=None, **kwargs):
+        """Repeat calc_probs over independent PRNG keys and aggregate.
+
+        The reference quantifies Monte-Carlo scatter by re-running the
+        analysis ~20 times and averaging by hand (examples/example.ipynb
+        cell 14); this does that in one call. Sets ``FPP``/``NFPP`` to
+        the ensemble means and ``FPP_std``/``NFPP_std``/``FPP_runs``/
+        ``NFPP_runs`` to the scatter; ``probs`` etc. reflect the last
+        run."""
+        if key is None:
+            key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        fpps, nfpps = [], []
+        for i in range(n_runs):
+            self.calc_probs(time, flux_0, flux_err_0, P_orb,
+                            key=jax.random.fold_in(key, i), **kwargs)
+            fpps.append(self.FPP)
+            nfpps.append(self.NFPP)
+        self.FPP_runs = np.array(fpps)
+        self.NFPP_runs = np.array(nfpps)
+        self.FPP = float(self.FPP_runs.mean())
+        self.NFPP = float(self.NFPP_runs.mean())
+        self.FPP_std = float(self.FPP_runs.std())
+        self.NFPP_std = float(self.NFPP_runs.std())
+
     # ------------------------------------------------------------------
     def plot_field(self, sector: int = None, ap_pixels=None,
                    ap_color: str = "red", save: bool = False,
