@@ -93,7 +93,10 @@ def _gd(d, *names):
 
 
 def _u_arrays(u1, u2, N):
-    return (jnp.asarray(np.full(N, u1, F32)), jnp.asarray(np.full(N, u2, F32)))
+    """Per-draw limb-darkening arrays, filled on device (a host np.full
+    here would ship 8 MB over the interconnect per scenario)."""
+    return (jnp.full((N,), np.float32(u1), jnp.float32),
+            jnp.full((N,), np.float32(u2), jnp.float32))
 
 
 from functools import lru_cache
