@@ -18,6 +18,7 @@ from pandas import DataFrame
 from scipy.special import ndtr
 
 import jax
+import jax.numpy as jnp
 
 from ..constants import PI
 from ..core.numerics import normalize_probabilities
@@ -26,6 +27,15 @@ from ..scenarios import api as sc
 
 _RES_FIELDS = ["M_s", "R_s", "u1", "u2", "P_orb", "inc", "b", "R_p", "ecc",
                "argp", "M_EB", "R_EB", "fluxratio_EB", "fluxratio_comp"]
+
+
+@jax.jit
+def _stack_firsts(leaves):
+    """First element of every result leaf, stacked into one vector so a
+    full calc_probs run needs a single device->host transfer (see the
+    deferred-materialization loop in calc_probs)."""
+    return jnp.stack(
+        [jnp.ravel(jnp.asarray(a, jnp.float32))[0] for a in leaves])
 
 
 class target:
@@ -522,11 +532,31 @@ class target:
                 put(16 + 3 * (i - 1), ID, "NEB", 1, res)
                 put(17 + 3 * (i - 1), ID, "NEBx2P", 1, res_t)
 
-        # materialize all deferred device results at once
-        for j, res in deferred:
-            for f in _RES_FIELDS:
-                cols[f][j] = float(np.atleast_1d(np.asarray(res[f]))[0])
-            lnZ[j] = float(res["lnZ"])
+        # materialize all deferred device results in ONE transfer: only
+        # the best-fit (first) element of each gathered field is needed
+        # here, and pulling ~18 scenarios x 15 fields individually costs a
+        # host<->device round trip each (~2.5 s over a remote tunnel). A
+        # single stacking program + single pull replaces ~270 round trips.
+        if deferred:
+            nf = 1 + len(_RES_FIELDS)
+            vals = np.empty((len(deferred), nf))
+            dev_leaves, dev_slots = [], []
+            for i, (_, res) in enumerate(deferred):
+                for fi, f in enumerate(("lnZ",) + tuple(_RES_FIELDS)):
+                    v = res[f]
+                    if isinstance(v, jax.Array):
+                        dev_slots.append((i, fi))
+                        dev_leaves.append(v)
+                    else:
+                        vals[i, fi] = float(np.atleast_1d(np.asarray(v))[0])
+            if dev_leaves:
+                flat = np.asarray(_stack_firsts(tuple(dev_leaves)))
+                for (i, fi), x in zip(dev_slots, flat):
+                    vals[i, fi] = float(x)
+            for i, (j, _) in enumerate(deferred):
+                lnZ[j] = vals[i, 0]
+                for fi, f in enumerate(_RES_FIELDS):
+                    cols[f][j] = vals[i, 1 + fi]
 
         relative_probs, _status = normalize_probabilities(lnZ)
         if _status == "anomaly":

@@ -122,7 +122,12 @@ def exposure_z2_poly(t_exp, h, P, a_R, inc, e, w):
 def z_supersampled(q0, q1, q2, offsets):
     """z at supersample offsets from the quadratic z^2 model.
 
-    q*: (chunk, n_t); offsets: (ns,). Returns (chunk, n_t, ns)."""
-    d = offsets[None, None, :]
-    z2 = q0[..., None] + q1[..., None] * d + q2[..., None] * d * d
+    q*: (chunk, n_t); offsets: (ns,). Returns (chunk, ns, n_t): the
+    supersample axis sits second-minor so the minor (lane) dimension is
+    the n_t time axis — an (..., n_t, ns) layout would pad the ~6-wide
+    supersample axis to the 128-lane TPU tile (21x HBM waste on every
+    materialized intermediate)."""
+    d = offsets[None, :, None]
+    q0e, q1e, q2e = q0[:, None, :], q1[:, None, :], q2[:, None, :]
+    z2 = q0e + q1e * d + q2e * d * d
     return jnp.sqrt(jnp.maximum(z2, 0.0))

@@ -24,6 +24,7 @@ from ..constants import G, MSUN, RSUN
 from ..funcs import file_to_contrast_curve, trilegal_results
 from ..populations.ldc import lookup_target, grid_at_Z, lookup_stars
 from ..populations.molusc import load_molusc_qs
+from ..ops import lightcurve
 from ..ops.lightcurve import lnL_planet, lnL_eb
 from . import engine as eng
 
@@ -70,8 +71,11 @@ def _lc(time, flux, exptime, nsamples):
     time = np.asarray(time, dtype=np.float64)
     obs_dev = (np.asarray(flux, dtype=np.float64) - 1.0).astype(F32)
     n_t = len(time)
-    n_ss = n_t * max(nsamples, 1)
-    chunk = int(max(256, min(4096, (1 << 23) // max(n_ss, 1))))
+    # chunk sized so a (chunk, n_t * gl_nodes) f32 intermediate stays
+    # ~40 MB; 16k draws/chunk measured ~8% faster than 4k on TPU (fewer
+    # lax.map iterations) with flat memory use
+    n_ss = n_t * min(max(nsamples, 1), lightcurve._GL_EXPO_MAX)
+    chunk = int(max(256, min(16384, (1 << 25) // max(n_ss, 1))))
     return jnp.asarray(time.astype(F32)), jnp.asarray(obs_dev), n_t, chunk
 
 
