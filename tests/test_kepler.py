@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from triceratops_tpu.core.kepler import (
-    solve_kepler, projected_z, mean_anomaly_at_transit, E_MAX,
+    solve_kepler, projected_z, mean_anomaly_at_transit, z2_taylor, E_MAX,
 )
 
 
@@ -17,6 +17,25 @@ class TestSolveKepler:
         ec = np.clip(e, 0, E_MAX)
         resid = E - ec * np.sin(E) - M
         assert np.abs(resid).max() < 1e-10
+
+    def test_f32_path_matches_f64(self):
+        """The 5-iteration float32 device path (cbrt pericenter starter)
+        must reach f32 round-off against the 8-iteration f64 solve,
+        including unwrapped multi-period M and the e -> E_MAX edge."""
+        rng = np.random.default_rng(1)
+        M = rng.uniform(-40, 40, 20000)
+        e = np.concatenate([rng.uniform(0, E_MAX, 10000),
+                            np.full(10000, E_MAX)])
+        Mf = M.astype(np.float32)
+        ef = e.astype(np.float32)
+        # compare against the f64 solve of the f32-rounded inputs: this
+        # isolates solver error from the unavoidable f32 input rounding
+        # (wrapping M ~ 40 to a ~1e-3 pericenter anomaly loses ~2e-6
+        # absolute regardless of solver)
+        Ed = np.asarray(solve_kepler(jnp.asarray(Mf, jnp.float64),
+                                     jnp.asarray(ef, jnp.float64)))
+        Ef = np.asarray(solve_kepler(jnp.asarray(Mf), jnp.asarray(ef)))
+        assert np.abs(Ef.astype(np.float64) - Ed).max() < 2e-5
 
     def test_circular(self):
         M = np.linspace(-3, 3, 100)
@@ -46,3 +65,34 @@ class TestProjectedZ:
         t = jnp.asarray([-0.02, 0.02])
         z, _ = projected_z(t, 0.0, 3.0, 10.0, np.deg2rad(89.0), 0.0, 0.7)
         np.testing.assert_allclose(float(z[0]), float(z[1]), rtol=1e-6)
+
+
+class TestZ2Taylor:
+    def test_derivatives_match_numerical(self):
+        """Closed-form dz^2/dt and d2z^2/dt2 against high-order central
+        differences of projected_z^2 (f64)."""
+        rng = np.random.default_rng(3)
+        n = 2000
+        t = jnp.asarray(rng.uniform(-0.2, 0.2, n))
+        P = jnp.asarray(rng.uniform(1.0, 20.0, n))
+        a_R = jnp.asarray(rng.uniform(3.0, 50.0, n))
+        inc = jnp.asarray(np.arccos(rng.uniform(0, 0.2, n)))
+        e = jnp.asarray(rng.uniform(0.0, 0.9, n))
+        w = jnp.asarray(rng.uniform(-np.pi, np.pi, n))
+        z2, dz2, d2z2, front = z2_taylor(t, 0.0, P, a_R, inc, e, w)
+
+        h = 1e-4
+        def z2_at(dt):
+            z, _ = projected_z(t + dt, 0.0, P, a_R, inc, e, w)
+            return np.asarray(z, np.float64) ** 2
+        f0, fp, fm = z2_at(0.0), z2_at(h), z2_at(-h)
+        fp2, fm2 = z2_at(2 * h), z2_at(-2 * h)
+        num1 = (8 * (fp - fm) - (fp2 - fm2)) / (12 * h)
+        num2 = (-fp2 + 16 * fp - 30 * f0 + 16 * fm - fm2) / (12 * h * h)
+        scale1 = np.abs(num1).max()
+        scale2 = np.abs(num2).max()
+        assert np.isclose(np.asarray(z2), f0, rtol=1e-9, atol=1e-9).all()
+        assert np.abs(np.asarray(dz2) - num1).max() < 1e-6 * scale1
+        assert np.abs(np.asarray(d2z2) - num2).max() < 1e-5 * scale2
+        zf, frontf = projected_z(t, 0.0, P, a_R, inc, e, w)
+        np.testing.assert_array_equal(np.asarray(front), np.asarray(frontf))

@@ -13,9 +13,14 @@ Conventions (matching the standard transit convention PyTransit uses):
     sin(w + nu) > 0.
 
 The solver uses a fixed-iteration Newton scheme (branch-free, vmappable):
-starter E0 = M + e sin M + e^2 sin M cos M, then NEWTON_ITERS Newton steps.
-For e <= E_MAX = 0.995 this converges to f32 round-off (f64 residual
-< 1e-10; validated in tests/test_kepler.py).
+starter E0 = M + e sin M + e^2 sin M cos M, augmented with the cube-root
+leading behavior E ~ (6M/e)^(1/3) where Newton otherwise stalls (high e
+near pericenter, 1 - e cos E -> 0). With that starter the float32 path
+converges to round-off in NEWTON_ITERS_F32 = 5 steps up to E_MAX = 0.995
+and the float64 path to residual < 1e-10 in NEWTON_ITERS = 8 (both
+validated in tests/test_kepler.py). Each Newton step costs ~13 ms per
+1e6-draw scenario core on TPU, so the iteration counts are as small as
+the accuracy gates allow.
 """
 
 from __future__ import annotations
@@ -23,23 +28,38 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEWTON_ITERS = 8
+NEWTON_ITERS = 8       # float64 / reference-accuracy path
+NEWTON_ITERS_F32 = 5   # float32 device path
 E_MAX = 0.995  # eccentricity clamp; draws beyond this are unphysical here
 
 
 def solve_kepler(M, e):
-    """Solve E - e sin E = M for E. Branch-free fixed-iteration Newton."""
+    """Solve E - e sin E = M for E. Branch-free fixed-iteration Newton.
+
+    M is range-reduced to [-pi, pi) first (E - M is 2pi-periodic in M),
+    both for convergence and so the cube-root pericenter starter
+    triggers on the wrapped anomaly for multi-period time arrays."""
     e = jnp.clip(e, 0.0, E_MAX)
-    sinM = jnp.sin(M)
-    cosM = jnp.cos(M)
-    E = M + e * sinM + e * e * sinM * cosM
-    for _ in range(NEWTON_ITERS):
+    two_pi = 2.0 * jnp.pi
+    k = jnp.round(M / two_pi)
+    # compensated wrap: 2pi split into a few-mantissa-bit head (so
+    # k * head is exact in f32) and a tail; a naive M - 2pi*k loses
+    # ~eps(|M|) absolute, which near pericenter at high e amplifies
+    # ~100x through dE/dM
+    Mw = (M - k * 6.28125) - k * 0.001935307179586232
+    sinM = jnp.sin(Mw)
+    cosM = jnp.cos(Mw)
+    E = Mw + e * sinM + e * e * sinM * cosM
+    Ecb = jnp.cbrt(6.0 * Mw / jnp.maximum(e, 1e-6))
+    E = jnp.where((jnp.abs(Mw) < 0.25) & (e > 0.9), Ecb, E)
+    f64 = jnp.result_type(M, e) == jnp.float64
+    for _ in range(NEWTON_ITERS if f64 else NEWTON_ITERS_F32):
         sinE = jnp.sin(E)
         cosE = jnp.cos(E)
-        f = E - e * sinE - M
+        f = E - e * sinE - Mw
         fp = 1.0 - e * cosE
         E = E - f / fp
-    return E
+    return E + two_pi * k
 
 
 def true_anomaly_from_E(E, e):
@@ -57,6 +77,49 @@ def mean_anomaly_at_transit(e, w):
         jnp.sqrt(1.0 + e) * jnp.cos(nu_tc / 2.0),
     )
     return E_tc - e * jnp.sin(E_tc)
+
+
+def z2_taylor(t, t0, P, a_R, inc, e, w):
+    """z^2 and its first two time derivatives, from ONE Kepler solve.
+
+    Closed-form orbital kinematics (Edot = n/beta, nudot =
+    n sqrt(1-e^2)/beta^2, rdot = a e n sinE / beta, and their time
+    derivatives) replace the two extra Kepler solves a finite-difference
+    quadratic needs; each avoided solve costs ~13 ms per 1e6-draw
+    scenario core on TPU. Used by the fast exposure-integration path
+    (ops/fastcore.exposure_z2_poly). Same conventions as projected_z.
+
+    Returns (z2, dz2/dt, d2z2/dt2, front).
+    """
+    e = jnp.clip(e, 0.0, E_MAX)
+    n = 2.0 * jnp.pi / P
+    M_tc = mean_anomaly_at_transit(e, w)
+    M = M_tc + n * (t - t0)
+    E = solve_kepler(M, e)
+    sh = jnp.sin(0.5 * E)
+    ch = jnp.cos(0.5 * E)
+    sinE = 2.0 * sh * ch
+    cosE = 1.0 - 2.0 * sh * sh
+    beta = 1.0 - e * cosE
+    nu = 2.0 * jnp.arctan2(jnp.sqrt((1.0 + e) / (1.0 - e)) * sh, ch)
+    ome2 = jnp.sqrt((1.0 - e) * (1.0 + e))
+    r = a_R * beta
+    rdot = a_R * e * n * sinE / beta
+    rdd = a_R * e * n * n * (cosE * beta - e * sinE * sinE) / (beta * beta * beta)
+    nudot = n * ome2 / (beta * beta)
+    nudd = -2.0 * e * n * n * ome2 * sinE / (beta * beta * beta * beta)
+    su = jnp.sin(w + nu)
+    cu = jnp.cos(w + nu)
+    S = jnp.sin(inc) ** 2
+    s2u = 2.0 * su * cu
+    c2u = 1.0 - 2.0 * su * su
+    A = jnp.maximum(1.0 - S * su * su, 0.0)
+    z2 = r * r * A
+    dz2 = 2.0 * r * rdot * A - r * r * S * s2u * nudot
+    d2z2 = (2.0 * (rdot * rdot + r * rdd) * A
+            - 4.0 * r * rdot * S * s2u * nudot
+            - r * r * S * (2.0 * c2u * nudot * nudot + s2u * nudd))
+    return z2, dz2, d2z2, su > 0.0
 
 
 def projected_z(t, t0, P, a_R, inc, e, w):
