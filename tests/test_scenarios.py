@@ -229,3 +229,25 @@ class TestMissionsAndRanges:
                      nsamples=2, verbose=0, key=jax.random.key(31))
         assert 0.0 <= t.FPP <= 1.0
         assert 2.5 <= t.probs["P_orb"].iloc[0] <= 7.0  # twin rows reach 2P
+
+
+class TestPrepCaching:
+    def test_rewritten_csv_invalidates_cache(self, tmp_path):
+        """A same-path rewrite of the TRILEGAL csv must not serve stale
+        device arrays (cache keys on path+mtime+size, not path alone)."""
+        p = str(tmp_path / "tri.csv")
+        make_trilegal_csv(p, n_stars=200, seed=1)
+        _, n1 = api._prep_background(p, 10.0, 9.3, 9.1, 9.0, "TESS",
+                                     "TESS", need_ldc=False)
+        _, n1b = api._prep_background(p, 10.0, 9.3, 9.1, 9.0, "TESS",
+                                      "TESS", need_ldc=False)
+        assert n1b == n1
+        make_trilegal_csv(p, n_stars=500, seed=2)
+        _, n2 = api._prep_background(p, 10.0, 9.3, 9.1, 9.0, "TESS",
+                                     "TESS", need_ldc=False)
+        assert n2 != n1
+
+        pop1, m1 = api._prep_lookalikes(p, 10.0, "TESS")
+        make_trilegal_csv(p, n_stars=900, seed=3)
+        pop2, m2 = api._prep_lookalikes(p, 10.0, "TESS")
+        assert m2 != m1

@@ -282,28 +282,26 @@ class target:
                 ]).T
                 all_ap_pixels.append(this_ap)
         n_ap, n_star = len(all_ap_pixels), len(self.stars)
-        rel_flux = np.zeros([n_ap, n_star])
         flux_ratio = np.zeros([n_ap, n_star])
         sigma = 0.75
+        amp = 10 ** ((np.min(self.stars.Tmag.values)
+                      - self.stars.Tmag.values) / 2.5)       # (n_star,)
         for k in range(n_ap):
-            pixels = np.array(all_ap_pixels[k])
-            for i in range(n_star):
-                mu_x = self.pix_coords[k][i, 0]
-                mu_y = self.pix_coords[k][i, 1]
-                A = 10 ** ((np.min(self.stars.Tmag.values)
-                            - self.stars.Tmag.values[i]) / 2.5)
-                rel_flux[k, i] = A * np.sum(
-                    (ndtr((pixels[:, 0] + 0.5 - mu_x) / sigma)
-                     - ndtr((pixels[:, 0] - 0.5 - mu_x) / sigma))
-                    * (ndtr((pixels[:, 1] + 0.5 - mu_y) / sigma)
-                       - ndtr((pixels[:, 1] - 0.5 - mu_y) / sigma)))
-            flux_ratio[k, :] = rel_flux[k, :] / np.sum(rel_flux[k])
+            pixels = np.asarray(all_ap_pixels[k], float)     # (n_pix, 2)
+            mu = np.asarray(self.pix_coords[k], float)       # (n_star, 2)
+            # broadcast (n_star, n_pix): per-pixel CDF-product PSF integral
+            dx = (ndtr((pixels[None, :, 0] + 0.5 - mu[:, 0, None]) / sigma)
+                  - ndtr((pixels[None, :, 0] - 0.5 - mu[:, 0, None]) / sigma))
+            dy = (ndtr((pixels[None, :, 1] + 0.5 - mu[:, 1, None]) / sigma)
+                  - ndtr((pixels[None, :, 1] - 0.5 - mu[:, 1, None]) / sigma))
+            rel = amp * np.sum(dx * dy, axis=1)
+            flux_ratio[k] = rel / np.sum(rel)
         flux_ratios = np.mean(flux_ratio, axis=0)
         self.stars["fluxratio"] = flux_ratios
-        tdepths = np.zeros(n_star)
-        for i in range(n_star):
-            if flux_ratios[i] != 0:
-                tdepths[i] = 1 - (flux_ratios[i] - tdepth) / flux_ratios[i]
+        tdepths = np.where(flux_ratios != 0,
+                           1 - (flux_ratios - tdepth)
+                           / np.where(flux_ratios != 0, flux_ratios, 1.0),
+                           0.0)
         tdepths[tdepths > 1] = 0
         self.stars["tdepth"] = tdepths
 
@@ -354,6 +352,8 @@ class target:
 
         if key is None:
             key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        elif isinstance(key, (int, np.integer)):
+            key = jax.random.key(int(key))
 
         # TRILEGAL result (downloaded once, memoized; triceratops.py:755-764)
         if self.trilegal_fname is None and self.trilegal_url is not None:
@@ -609,6 +609,8 @@ class target:
         run."""
         if key is None:
             key = jax.random.key(int(np.random.randint(0, 2**31 - 1)))
+        elif isinstance(key, (int, np.integer)):
+            key = jax.random.key(int(key))
         fpps, nfpps = [], []
         for i in range(n_runs):
             self.calc_probs(time, flux_0, flux_err_0, P_orb,

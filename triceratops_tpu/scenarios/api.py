@@ -16,6 +16,8 @@ reproducibility, like the reference's global-stream behavior.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,12 +108,28 @@ def _u_arrays(u1, u2, N):
 from functools import lru_cache
 
 
-@lru_cache(maxsize=16)
+def _file_sig(path):
+    """(path, mtime_ns, size) — cache key that invalidates when the file
+    is rewritten in-process (a same-path rewrite must not serve stale
+    device arrays)."""
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def _prep_background(trilegal_fname, Tmag, Jmag, Hmag, Kmag, mission, filt,
                      need_ldc, need_cc_ratio=False):
+    return _prep_background_cached(_file_sig(trilegal_fname), Tmag, Jmag,
+                                   Hmag, Kmag, mission, filt, need_ldc,
+                                   need_cc_ratio)
+
+
+@lru_cache(maxsize=16)
+def _prep_background_cached(file_sig, Tmag, Jmag, Hmag, Kmag, mission, filt,
+                            need_ldc, need_cc_ratio=False):
     """Per-background-star device arrays from a TRILEGAL csv
     (reference ml.py:1451-1463 and analogues). Cached per file/target so
     the four D*/B* scenarios share one parse + LDC lookup pass."""
+    trilegal_fname = file_sig[0]
     (Tmags, Masses, loggs, Teffs, Zs, Jmags, Hmags, Kmags) = trilegal_results(
         trilegal_fname, Tmag)
     d_T = Tmag - Tmags
@@ -149,12 +167,16 @@ def _prep_background(trilegal_fname, Tmag, Jmag, Hmag, Kmag, mission, filt,
     return {k: jnp.asarray(v) for k, v in bg.items()}, len(Tmags)
 
 
-@lru_cache(maxsize=16)
 def _prep_lookalikes(trilegal_fname, Tmag, mission):
+    return _prep_lookalikes_cached(_file_sig(trilegal_fname), Tmag, mission)
+
+
+@lru_cache(maxsize=16)
+def _prep_lookalikes_cached(file_sig, Tmag, mission):
     """Tmag +/- 1 lookalike population for the NTP/NEB-unknown scenarios
     (reference ml.py:2402-2446)."""
     (Tmags, Masses, loggs, Teffs, Zs, _J, _H, _K) = trilegal_results(
-        trilegal_fname, Tmag)
+        file_sig[0], Tmag)
     m = (Tmag - 1 < Tmags) & (Tmags < Tmag + 1)
     if m.sum() == 0:
         return None, 0
