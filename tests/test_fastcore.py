@@ -22,23 +22,55 @@ class TestChebProxy:
         n = 200
         k = 10 ** rng.uniform(-2, 0.3, n)
         u1 = rng.uniform(0, 0.8, n)
-        u2 = rng.uniform(0, 0.4, n)
+        u2 = np.clip(rng.uniform(0, 0.4, n), None, 1.0 - u1)
         coeffs = cheb_deficit_coeffs(_f32(k), _f32(u1), _f32(u2))
         zg = rng.uniform(0, 1, (n, 64)) * (1 + k[:, None]) * 1.05
         D_fast = np.asarray(cheb_deficit_eval(coeffs, _f32(zg)))
         D_exact = np.asarray(occult_quad_deficit(
             _f32(k[:, None]), _f32(zg), _f32(u1[:, None]), _f32(u2[:, None])))
         err = np.abs(D_fast - D_exact)
-        # typical accuracy is ~1e-7; the k ~ 1 (twin) regime has features
-        # on scale |1-k| that the fixed Chebyshev grid resolves only to
-        # ~1e-4 worst-case (localized; end-to-end impact gated by
-        # TestEndToEndConsistency below and the exact=True escape hatch)
-        assert np.quantile(err, 0.99) < 1e-5, \
+        # the symmetric-sqrt-map 3-segment scheme is < 3e-7 worst-case in
+        # f64 (gated below); this f32 run measures the Clenshaw/kernel
+        # rounding floor (~1.5e-6 at p99)
+        assert np.quantile(err, 0.99) < 3e-6, \
             f"p99 cheb proxy error {np.quantile(err, 0.99):.2e}"
-        assert err.max() < 3e-4, f"max cheb proxy error {err.max():.2e}"
-        small = k < 0.8
-        assert err[small].max() < 1e-5, \
-            f"max error for k<0.8: {err[small].max():.2e}"
+        assert err.max() < 1e-5, f"max cheb proxy error {err.max():.2e}"
+
+    def test_deficit_accuracy_twin_band_f64(self):
+        """VERDICT round-1 item 4: fast-vs-exact deficit gate < 1e-6 over
+        k in [0.9, 1.1] (the EBx2P twin regime), in f64 so the algorithmic
+        error is measured without the f32 rounding floor. Includes the
+        razor band |k-1| ~ 1e-4 where the mirror branch point at
+        z = -|1-k| pinches the middle segment."""
+        f64 = lambda a: jnp.asarray(np.asarray(a, np.float64))  # noqa: E731
+        rng = np.random.default_rng(7)
+        k = np.concatenate([
+            np.linspace(0.9, 1.1, 41),
+            1.0 + np.array([-1e-3, 1e-3, -3e-4, 3e-4, -1e-4, 1e-4, 0.0]),
+        ])
+        n = len(k)
+        # physical quadratic LD: u1 >= 0, u1 + u2 <= 1 (non-negative limb
+        # intensity), u1 + 2 u2 >= 0 (monotone profile) — the Claret grids
+        # the pipeline looks up all satisfy these
+        u1 = rng.uniform(0.0, 0.9, n)
+        u2 = np.clip(rng.uniform(-0.2, 0.4, n),
+                     -u1 / 2.0, 1.0 - u1)
+        coeffs = cheb_deficit_coeffs(f64(k), f64(u1), f64(u2))
+        zsplit = np.abs(1.0 - k)[:, None]
+        # dense z coverage incl. the contact neighbourhoods
+        zg = np.concatenate([
+            rng.uniform(0, 1, (n, 48)) * (1 + k[:, None]) * 1.02,
+            zsplit + np.linspace(-1, 1, 32)[None, :] * 0.03,
+            (1 + k[:, None]) + np.linspace(-1, 0, 16)[None, :] * 0.02,
+        ], axis=1)
+        zg = np.clip(zg, 0.0, None)
+        D_fast = np.asarray(cheb_deficit_eval(coeffs, f64(zg)))
+        D_exact = np.asarray(occult_quad_deficit(
+            f64(k[:, None]), f64(zg), f64(u1[:, None]), f64(u2[:, None])))
+        err = np.abs(D_fast - D_exact)
+        assert err.max() < 1e-6, \
+            f"twin-band max proxy error {err.max():.2e} at " \
+            f"k={k[np.unravel_index(err.argmax(), err.shape)[0]]}"
 
     def test_out_of_transit_zero(self):
         coeffs = cheb_deficit_coeffs(_f32([0.1]), _f32([0.4]), _f32([0.2]))

@@ -4,9 +4,20 @@ The practical form of BASELINE.json configs[4] ("batch vetting sweep:
 384-TOI catalog replay at 1M draws/scenario"): every target reuses the
 same compiled scenario programs (shapes are fixed by the shared light-
 curve binning and draw count), so per-target cost after the first is the
-steady-state FPP wall time (~7 s at the benchmark shape on one v5e).
+steady-state FPP wall time (~3.4 s at the benchmark shape on one v5e).
 Results are written as a csv alongside the published-catalog columns for
 comparison (populations/catalogs.py).
+
+Two execution modes:
+
+* ``--serial`` — the frontend path: one ``target.calc_probs`` per TOI on
+  one chip (includes nearby-star scenarios and NFPP).
+* sharded (default) — the multi-chip path: targets are batched through
+  ``parallel.sharding.batch_fpp_full`` on a ('targets', 'draws')
+  ``jax.sharding.Mesh`` over all available devices, covering the full
+  15-scenario target-star taxonomy; per-target reductions are chip-local
+  and the only collective is the per-scenario evidence logsumexp
+  (SURVEY.md section 2.4 per-target axis, VERDICT round-1 item 2).
 
 With only synthetic data available offline, the sweep runs on
 synthesized light curves drawn from the catalog's (Rp, Porb) rows; swap
@@ -14,7 +25,9 @@ synthesized light curves drawn from the catalog's (Rp, Porb) rows; swap
 reproduce the paper tables.
 
 Usage:
-    python tools/catalog_replay.py [n_targets] [N_draws]
+    python tools/catalog_replay.py [n_targets] [N_draws] [--serial]
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/catalog_replay.py 16 65536   # 8-way CPU mesh demo
 """
 
 import os
@@ -56,6 +69,73 @@ def build_target(row, trilegal, n_t=100, sigma=4e-4):
     return t, time, flux, sigma, P
 
 
+def _synth_lc(row, n_t=100, sigma=4e-4):
+    """Synthetic folded light curve from a catalog (Rp, Porb) row."""
+    import jax.numpy as jnp
+    from triceratops_tpu.constants import G, MSUN, RSUN, REARTH
+    from triceratops_tpu.core.kepler import projected_z
+    from triceratops_tpu.ops.occult import occult_quad_deficit
+
+    P = float(np.clip(row["Porb"], 0.8, 20.0))
+    rp = float(np.clip(row["Rp"], 1.0, 16.0))
+    time = np.linspace(-0.15, 0.15, n_t)
+    a = ((G * MSUN) / (4 * np.pi**2) * (P * 86400) ** 2) ** (1 / 3)
+    z, front = projected_z(jnp.asarray(time), 0.0, P, a / RSUN,
+                           np.deg2rad(89.3), 0.0, 0.0)
+    D = np.asarray(occult_quad_deficit(
+        jnp.asarray(rp * REARTH / RSUN), z,
+        jnp.asarray(0.35), jnp.asarray(0.25))) * np.asarray(front)
+    rng = np.random.default_rng(int(row["TOI"] * 100) % 2**31)
+    return time, 1.0 - D + rng.normal(0, sigma, n_t), sigma, P
+
+
+def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
+                 n_t=100, ns=20):
+    """Mesh-sharded replay: all TOIs batched through batch_fpp_full."""
+    import jax
+    from triceratops_tpu.parallel.sharding import (
+        make_mesh, batch_fpp_full, prepare_target_batch)
+    from triceratops_tpu.populations.catalogs import vetting_catalog
+    from triceratops_tpu.populations.synthetic import make_synthetic_trilegal
+
+    cat = vetting_catalog().sample(n_targets, random_state=0)
+    trilegal = make_synthetic_trilegal("/tmp/replay_trilegal.csv",
+                                       Tmag_target=10.0, seed=1)
+    n_dev = len(jax.devices())
+    # favor the targets axis (per-target work is independent); draws axis
+    # picks up the remainder so every device is used
+    nts = 1
+    for cand in range(min(n_dev, n_targets), 0, -1):
+        if n_dev % cand == 0 and n_targets % cand == 0:
+            nts = cand
+            break
+    mesh = make_mesh(n_dev, n_target_shards=nts)
+    N = -(-N // mesh.shape["draws"]) * mesh.shape["draws"]
+    print(f"mesh {dict(mesh.shape)}; {n_targets} targets x {N} draws")
+
+    targets = []
+    for i, (_, row) in enumerate(cat.iterrows()):
+        time, flux, sigma, P = _synth_lc(row, n_t=n_t)
+        targets.append(dict(time=time, flux=flux, sigma=sigma, P_orb=P,
+                            M_s=1.0, R_s=1.0, Teff=5800.0, Z=0.0, plx=10.0,
+                            Tmag=10.0, Jmag=9.3, Hmag=9.1, Kmag=9.0,
+                            trilegal_fname=trilegal, key=jax.random.key(i)))
+    batch, _, has_cc = prepare_target_batch(targets)
+    t0 = _time.time()
+    fpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
+                              chunk=4096, has_cc=has_cc)
+    fpp = np.asarray(fpp)
+    wall = _time.time() - t0
+    rows = [dict(TOI=row["TOI"], TICID=row["TICID"], Rp=row["Rp"],
+                 Porb=row["Porb"], FPP=float(fpp[i]), NFPP=0.0,
+                 FPP_paper=row["FPP"], NFPP_paper=row["NFPP"],
+                 Classification=row["Classification"])
+            for i, (_, row) in enumerate(cat.iterrows())]
+    pd.DataFrame(rows).to_csv(out_csv, index=False)
+    print(f"wrote {out_csv}; {n_targets} targets in {wall:.1f}s "
+          f"({wall/n_targets:.2f}s/target incl. compile)")
+
+
 def main(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv"):
     import jax
     from triceratops_tpu.populations.catalogs import vetting_catalog
@@ -88,6 +168,16 @@ def main(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv"):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1000000
-    main(n, N)
+    # honor JAX_PLATFORMS=cpu even though the axon sitecustomize
+    # pre-imports jax against the remote TPU (env vars alone are too late
+    # once jax is imported; see CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 8
+    N = int(args[1]) if len(args) > 1 else 1000000
+    if "--serial" in sys.argv:
+        main(n, N)
+    else:
+        main_sharded(n, N)

@@ -154,7 +154,7 @@ def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
     from .pallas_core import chi2_supersampled
 
     coeffs = cheb_deficit_coeffs(k, u1, u2)
-    cA, cB, zsplit, invA, invB, midA, midB = coeffs
+    cA, cB1, cB2, zsplit, zmid, invA, invB1, invB2 = coeffs
     if ns > 1:
         h = exptime / 2.0
         q0, q1, q2, front = exposure_z2_poly(time, h, P, a_R, inc, e, w)
@@ -166,9 +166,9 @@ def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
         q1 = jnp.zeros_like(q0)
         q2 = jnp.zeros_like(q0)
         offs, wgt = np.zeros(1, np.float32), np.ones(1, np.float32)
-    seg = jnp.stack([zsplit, invA, invB, midA, midB], axis=1)
+    seg = jnp.stack([zsplit, zmid, invA, invB1, invB2], axis=1)
     return chi2_supersampled(
-        q0, q1, q2, front.astype(q0.dtype), cA, cB, seg, g[:, None],
+        q0, q1, q2, front.astype(q0.dtype), cA, cB1, cB2, seg, g[:, None],
         obs_dev[None, :], offs=tuple(float(o) for o in offs),
         wgts=tuple(float(x) for x in wgt), interpret=interpret)
 

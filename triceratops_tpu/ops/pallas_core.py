@@ -28,30 +28,34 @@ from .fastcore import M_CHEB
 DRAW_TILE = 256
 
 
-def _clenshaw_tile(cA_ref, cB_ref, in_B, x):
+def _clenshaw_tile(cA_ref, cB1_ref, cB2_ref, in_B1, in_B2, x):
     """One Clenshaw pass with per-point segment selection (see
-    fastcore._clenshaw_select)."""
+    fastcore._clenshaw_select3)."""
     b1 = jnp.zeros_like(x)
     b2 = jnp.zeros_like(x)
     two_x = 2.0 * x
     for m in range(M_CHEB - 1, 0, -1):
-        cm = jnp.where(in_B, cB_ref[:, m][:, None], cA_ref[:, m][:, None])
+        cm = jnp.where(in_B2, cB2_ref[:, m][:, None],
+                       jnp.where(in_B1, cB1_ref[:, m][:, None],
+                                 cA_ref[:, m][:, None]))
         b1, b2 = cm + two_x * b1 - b2, b1
-    c0 = jnp.where(in_B, cB_ref[:, 0][:, None], cA_ref[:, 0][:, None])
+    c0 = jnp.where(in_B2, cB2_ref[:, 0][:, None],
+                   jnp.where(in_B1, cB1_ref[:, 0][:, None],
+                             cA_ref[:, 0][:, None]))
     return c0 + x * b1 - b2
 
 
 def _chi2_kernel(offs, wgts, q0_ref, q1_ref, q2_ref, front_ref, cA_ref,
-                 cB_ref, seg_ref, g_ref, obs_ref, chi2_ref):
+                 cB1_ref, cB2_ref, seg_ref, g_ref, obs_ref, chi2_ref):
     """One draw tile: accumulate the weighted-mean deficit over the
     supersample nodes, then chi^2 over the time axis.
 
-    seg_ref columns: [zsplit, invA, invB, midA, midB]."""
+    seg_ref columns: [zsplit, zmid, invA, invB1, invB2]."""
     zsplit = seg_ref[:, 0][:, None]
-    invA = seg_ref[:, 1][:, None]
-    invB = seg_ref[:, 2][:, None]
-    midA = seg_ref[:, 3][:, None]
-    midB = seg_ref[:, 4][:, None]
+    zmid = seg_ref[:, 1][:, None]
+    invA = seg_ref[:, 2][:, None]
+    invB1 = seg_ref[:, 3][:, None]
+    invB2 = seg_ref[:, 4][:, None]
     q0 = q0_ref[:, :]
     q1 = q1_ref[:, :]
     q2 = q2_ref[:, :]
@@ -61,11 +65,14 @@ def _chi2_kernel(offs, wgts, q0_ref, q1_ref, q2_ref, front_ref, cA_ref,
         d = offs[s]
         z2 = q0 + q1 * d + q2 * (d * d)
         z = jnp.sqrt(jnp.maximum(z2, 0.0))
-        xA = jnp.clip((z - midA) * invA, -1.0, 1.0)
-        xB = jnp.clip((z - midB) * invB, -1.0, 1.0)
-        in_B = z >= zsplit
-        x = jnp.where(in_B, xB, xA)
-        D = jnp.clip(_clenshaw_tile(cA_ref, cB_ref, in_B, x), 0.0, 1.0)
+        in_B2 = z >= zmid
+        in_B1 = (z >= zsplit) & ~in_B2
+        sx = jnp.where(in_B2, (z - zmid) * invB2,
+                       jnp.where(in_B1, (z - zsplit) * invB1, z * invA))
+        sx = jnp.clip(sx, 0.0, 1.0)
+        x = jnp.sqrt(sx) - jnp.sqrt(1.0 - sx)
+        D = jnp.clip(_clenshaw_tile(cA_ref, cB1_ref, cB2_ref, in_B1,
+                                    in_B2, x), 0.0, 1.0)
         Dbar = Dbar + wgts[s] * D
     Dbar = Dbar * front_ref[:, :]
     resid = obs_ref[0, :][None, :] + g_ref[:, 0][:, None] * Dbar
@@ -74,15 +81,15 @@ def _chi2_kernel(offs, wgts, q0_ref, q1_ref, q2_ref, front_ref, cA_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("offs", "wgts", "interpret"))
-def chi2_supersampled(q0, q1, q2, front, cA, cB, seg, g, obs_dev,
+def chi2_supersampled(q0, q1, q2, front, cA, cB1, cB2, seg, g, obs_dev,
                       *, offs, wgts, interpret=False):
     """chi^2 (unnormalized by sigma) for one draw chunk.
 
     Args:
         q0,q1,q2: (C, n_t) per-exposure quadratic z^2 model.
         front: (C, n_t) visibility gate (f32 0/1).
-        cA, cB: (C, M) Chebyshev deficit coefficients per segment.
-        seg: (C, 5) [zsplit, invA, invB, midA, midB].
+        cA, cB1, cB2: (C, M) Chebyshev deficit coefficients per segment.
+        seg: (C, 5) [zsplit, zmid, invA, invB1, invB2].
         g: (C, 1) dilution multiplier.
         obs_dev: (1, n_t) observed flux - 1.
         offs/wgts: exposure quadrature nodes/weights (static tuples).
@@ -103,6 +110,7 @@ def chi2_supersampled(q0, q1, q2, front, cA, cB, seg, g, obs_dev,
             tile((DRAW_TILE, n_t)), tile((DRAW_TILE, n_t)),
             tile((DRAW_TILE, n_t)), tile((DRAW_TILE, n_t)),
             tile((DRAW_TILE, M_CHEB)), tile((DRAW_TILE, M_CHEB)),
+            tile((DRAW_TILE, M_CHEB)),
             tile((DRAW_TILE, 5)), tile((DRAW_TILE, 1)),
             pl.BlockSpec((1, n_t), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -110,5 +118,5 @@ def chi2_supersampled(q0, q1, q2, front, cA, cB, seg, g, obs_dev,
         out_specs=tile((DRAW_TILE, 1)),
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.float32),
         interpret=interpret,
-    )(q0, q1, q2, front, cA, cB, seg, g, obs_dev)
+    )(q0, q1, q2, front, cA, cB1, cB2, seg, g, obs_dev)
     return out[:, 0]

@@ -13,6 +13,14 @@ The workload's parallel axes (SURVEY.md section 2.4) map onto a 2-D
 minimum end-to-end slice of SURVEY.md section 7) for a batch of targets
 under ``shard_map``; draws are i.i.d. per (target, draw-shard) via folded
 keys, so sharding changes the random stream but not the estimator.
+
+``batch_fpp_full`` runs ALL 15 target-star scenarios (the full
+calc_probs taxonomy for the target star, reference triceratops.py:
+716-1340: TP, EB, EBx2P, PTP, PEB, PEBx2P, STP, SEB, SEBx2P, DTP, DEB,
+DEBx2P, BTP, BEB, BEBx2P) with the bound-companion and background
+priors, per-target TRILEGAL tables (padded to a common length,
+replicated across the draws axis), and optional contrast curves.
+``prepare_target_batch`` assembles the stacked per-target host inputs.
 """
 
 from __future__ import annotations
@@ -119,3 +127,218 @@ def batch_fpp_tp_eb(mesh: Mesh, keys, times, obs_dev, sigmas, P_orbs,
 
     return jax.jit(step)(keys, times, obs_dev, sigmas, P_orbs, M_ss, R_ss,
                          Teffs, u1s, u2s)
+
+
+# ---------------------------------------------------------------------------
+# Full 15-scenario sharded FPP (the complete target-star taxonomy)
+# ---------------------------------------------------------------------------
+
+# scenario row order = the reference's calc_probs target-star block
+# (triceratops.py:797-1340)
+FULL_SCENARIOS = ("TP", "EB", "EBx2P", "PTP", "PEB", "PEBx2P",
+                  "STP", "SEB", "SEBx2P", "DTP", "DEB", "DEBx2P",
+                  "BTP", "BEB", "BEBx2P")
+_BG_FIELDS = ("fluxratios", "delta_band", "masses", "radii", "loggs",
+              "teffs", "u1s", "u2s", "fluxratios_cc")
+
+
+def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
+    """Stack per-target host inputs into the device-ready batch dict for
+    ``batch_fpp_full``.
+
+    Each element of ``targets`` is a dict with keys: time (n_t,), flux
+    (n_t,), sigma, P_orb, M_s, R_s, Teff, Z, plx, Tmag, Jmag, Hmag, Kmag,
+    trilegal_fname, and optionally key (jax PRNG key), contrast_curve
+    (seps, cons) arrays. Light curves must share one n_t (one compiled
+    program per shape). TRILEGAL tables are padded to the longest by
+    repeating the last row; the true count rides in n_comp so padded rows
+    are never drawn.
+    """
+    import jax.random as jrandom
+    from ..scenarios.api import _prep_background
+    from ..populations.ldc import lookup_target, grid_at_Z
+
+    B = len(targets)
+    n_t = len(targets[0]["time"])
+    f32 = np.float32
+    bg_list, ncomp = [], []
+    for t in targets:
+        bg_i, n_i = _prep_background(t["trilegal_fname"], t["Tmag"],
+                                     t["Jmag"], t["Hmag"], t["Kmag"],
+                                     mission, t.get("filt", "TESS"),
+                                     need_ldc=True, need_cc_ratio=True)
+        bg_list.append({k: np.asarray(bg_i[k]) for k in _BG_FIELDS})
+        ncomp.append(n_i)
+    n_bg = max(len(b["fluxratios"]) for b in bg_list)
+    bg = {k: np.stack([np.concatenate(
+            [b[k], np.repeat(b[k][-1:], n_bg - len(b[k]), axis=0)])
+          for b in bg_list]) for k in _BG_FIELDS}
+
+    u1 = np.zeros(B, f32)
+    u2 = np.zeros(B, f32)
+    tabs10, tabs13 = [], []
+    for i, t in enumerate(targets):
+        from ..constants import G, MSUN, RSUN
+        logg = float(np.log10(G * (t["M_s"] * MSUN) / (t["R_s"] * RSUN) ** 2))
+        u1[i], u2[i] = lookup_target(t["Z"], t["Teff"], logg, mission)
+        tabs10.append(grid_at_Z(t["Z"], mission, teff_max=10000))
+        tabs13.append(grid_at_Z(t["Z"], mission, teff_max=13000))
+
+    has_cc = any("contrast_curve" in t for t in targets)
+    n_cc = max((len(t["contrast_curve"][0]) for t in targets
+                if "contrast_curve" in t), default=1)
+    seps = np.full((B, n_cc), 2.2, f32)
+    cons = np.full((B, n_cc), 1.0, f32)
+    for i, t in enumerate(targets):
+        if "contrast_curve" in t:
+            s_i, c_i = (np.asarray(a, f32) for a in t["contrast_curve"])
+            pad = n_cc - len(s_i)
+            seps[i] = np.concatenate([s_i, np.repeat(s_i[-1:], pad)])
+            cons[i] = np.concatenate([c_i, np.repeat(c_i[-1:], pad)])
+
+    col = lambda name, d=f32: np.asarray(  # noqa: E731
+        [t[name] for t in targets], dtype=d)
+    batch = dict(
+        key=jnp.stack([t.get("key", jrandom.key(i))
+                       for i, t in enumerate(targets)]),
+        time=np.stack([np.asarray(t["time"], f32) for t in targets]),
+        obs_dev=np.stack([np.asarray(t["flux"], np.float64) - 1.0
+                          for t in targets]).astype(f32),
+        sigma=col("sigma"), P_orb=col("P_orb"), M_s=col("M_s"),
+        R_s=col("R_s"), Teff=col("Teff"), plx=col("plx"),
+        u1=u1, u2=u2,
+        u1_tab10=np.stack([a for a, _ in tabs10]).astype(f32),
+        u2_tab10=np.stack([b for _, b in tabs10]).astype(f32),
+        u1_tab13=np.stack([a for a, _ in tabs13]).astype(f32),
+        u2_tab13=np.stack([b for _, b in tabs13]).astype(f32),
+        bg=bg, n_comp=np.asarray(ncomp, np.int32),
+        seps=seps, cons=cons,
+    )
+    batch = {k: (v if k == "bg" else jnp.asarray(v)) for k, v in batch.items()}
+    batch["bg"] = {k: jnp.asarray(v) for k, v in batch["bg"].items()}
+    return batch, n_t, has_cc
+
+
+def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
+                   chunk: int = 1024, exptime: float = 0.00139,
+                   flatpriors: bool = False, has_cc: bool = False,
+                   cc_filt: str | None = None):
+    """FPP over all 15 target-star scenarios for a batch of targets.
+
+    The batch axis shards over 'targets'; each target's N draws split
+    over 'draws' (i.i.d. per shard via folded keys); the only cross-chip
+    communication is the per-scenario evidence logsumexp over ICI.
+    Returns (FPP, NFPP-less lnZ (B, 15)) ordered as FULL_SCENARIOS;
+    FPP = 1 - (P_TP + P_PTP + P_DTP) (reference triceratops.py:1479).
+
+    ``batch`` comes from ``prepare_target_batch`` (or hand-assembled
+    arrays with the same keys). ``cc_filt`` must be set when has_cc.
+    """
+    n_d = mesh.shape["draws"]
+    if N % n_d:
+        raise ValueError(f"N={N} must divide the draws axis ({n_d})")
+    N_local = N // n_d
+    eff_cc_filt = cc_filt if has_cc else None
+
+    def per_target(b):
+        d_idx = jax.lax.axis_index("draws")
+        key = jax.random.fold_in(b["key"], d_idx)
+        ks = jax.random.split(key, 8)
+        time_i, obs_i, sigma = b["time"], b["obs_dev"], b["sigma"]
+        P_orb, M_s, R_s = b["P_orb"], b["M_s"], b["R_s"]
+        Teff, plx = b["Teff"], b["plx"]
+        seps, cons = b["seps"], b["cons"]
+        u1a = jnp.full((N_local,), b["u1"], jnp.float32)
+        u2a = jnp.full((N_local,), b["u2"], jnp.float32)
+        ones = jnp.ones((N_local,), jnp.float32)
+        qs0 = jnp.zeros((N_local,), jnp.float32)
+        kw = dict(exptime=exptime, n_t=n_t, ns=ns, chunk=chunk)
+
+        def ev(lnL, lnw):
+            m, s = _local_lnZ_parts(lnL + lnw)
+            return _combine_lnZ(m, s, N, "draws")
+
+        def planet(d, u1x, u2x, g, lnprior):
+            lnL = lnL_planet(time_i, obs_i, sigma, d["k"], d["P"], d["a_R"],
+                             d["inc_rad"], d["eccs"], d["w_rad"], u1x, u2x,
+                             g, d["mask"], **kw)
+            return ev(lnL, lnprior + d["lnw"])
+
+        def eb_pair(d, u1x, u2x, lnprior):
+            lnL = lnL_eb(time_i, obs_i, sigma, d["k"], d["ksec"], d["P"],
+                         d["a_R"], d["inc_rad"], d["eccs"], d["w_rad"],
+                         u1x, u2x, d["g_pri"], d["g_sec"], d["mask"],
+                         apply_veto=True, **kw)
+            lnL_t = lnL_eb(time_i, obs_i, sigma, d["k"], d["ksec"],
+                           2.0 * d["P"], d["a_R_twin"], d["inc_rad_twin"],
+                           d["eccs"], d["w_rad"], u1x, u2x, d["g_pri"],
+                           d["g_sec"], d["mask_twin"], apply_veto=False,
+                           **kw)
+            return (ev(lnL, lnprior + d["lnw"]),
+                    ev(lnL_t, lnprior + d["lnw_twin"]))
+
+        lnZ = [None] * 15
+        # TP (reference triceratops.py:797)
+        d = eng.sample_planet_target(ks[0], P_orb, P_orb, M_s, R_s,
+                                     N=N_local, flatpriors=flatpriors)
+        lnZ[0] = planet(d, u1a, u2a, ones, 0.0)
+        # EB, EBx2P (:843)
+        d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff, N=N_local)
+        lnZ[1], lnZ[2] = eb_pair(d, u1a, u2a, 0.0)
+        # PTP (:904)
+        d = eng.sample_ptp(ks[2], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                           seps, cons, N=N_local, flatpriors=flatpriors,
+                           use_molusc=False, cc_filt=eff_cc_filt)
+        lnZ[3] = planet(d, u1a, u2a, d["g"], d["lnprior"])
+        # PEB, PEBx2P (:953)
+        d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                           seps, cons, N=N_local, use_molusc=False,
+                           cc_filt=eff_cc_filt)
+        lnZ[4], lnZ[5] = eb_pair(d, u1a, u2a, d["lnprior"])
+        # STP (:1017)
+        d = eng.sample_stp(ks[4], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                           b["u1_tab10"], b["u2_tab10"], seps, cons,
+                           N=N_local, flatpriors=flatpriors,
+                           use_molusc=False, cc_filt=eff_cc_filt)
+        lnZ[6] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
+        # SEB, SEBx2P (:1066)
+        d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                           b["u1_tab13"], b["u2_tab13"], seps, cons,
+                           N=N_local, use_molusc=False, cc_filt=eff_cc_filt)
+        lnZ[7], lnZ[8] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+        # DTP (:1130)
+        d = eng.sample_background_planet(
+            ks[6], P_orb, P_orb, M_s, R_s, b["bg"], seps, cons, N=N_local,
+            flatpriors=flatpriors, has_cc=has_cc, host_is_bg=False,
+            n_comp=b["n_comp"])
+        lnZ[9] = planet(d, u1a, u2a, d["g"], d["lnprior"])
+        # DEB, DEBx2P (:1178)
+        d = eng.sample_background_eb(
+            ks[7], P_orb, P_orb, M_s, R_s, Teff, b["bg"], seps, cons,
+            N=N_local, has_cc=has_cc, host_is_bg=False,
+            cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+        lnZ[10], lnZ[11] = eb_pair(d, u1a, u2a, d["lnprior"])
+        # BTP (:1242)
+        d = eng.sample_background_planet(
+            jax.random.fold_in(ks[6], 1), P_orb, P_orb, M_s, R_s, b["bg"],
+            seps, cons, N=N_local, flatpriors=flatpriors, has_cc=has_cc,
+            host_is_bg=True, n_comp=b["n_comp"])
+        lnZ[12] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
+        # BEB, BEBx2P (:1291)
+        d = eng.sample_background_eb(
+            jax.random.fold_in(ks[7], 1), P_orb, P_orb, M_s, R_s, Teff,
+            b["bg"], seps, cons, N=N_local, has_cc=has_cc, host_is_bg=True,
+            cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+        lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+
+        lnZv = jnp.stack(lnZ)
+        probs = jnp.exp(lnZv - logsumexp_jax(lnZv))
+        fpp = 1.0 - (probs[0] + probs[3] + probs[9])
+        return fpp, lnZv
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("targets"),),
+             out_specs=(P("targets"), P("targets")), check_rep=False)
+    def step(batch_shard):
+        return jax.vmap(per_target)(batch_shard)
+
+    return jax.jit(step)(batch)

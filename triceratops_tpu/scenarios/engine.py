@@ -144,14 +144,15 @@ def _companion_prior_bound(kind, M_s, plx, masses_comp, fluxratios_comp,
 def _background_prior(has_cc, N_comp, fluxratios_draw, delta_band_draw,
                       seps, cons, extra_fluxratio=None):
     """Background-star prior block for D*/B* scenarios
-    (reference ml.py:1466-1492, :1929-1955, :2184-2209)."""
+    (reference ml.py:1466-1492, :1929-1955, :2184-2209). N_comp may be a
+    python int or a traced per-target count (sharded batch path)."""
     if not has_cc:
         fr_tot = fluxratios_draw / (1.0 - fluxratios_draw)
         if extra_fluxratio is not None:
             fr_tot = fr_tot + extra_fluxratio / (1.0 - extra_fluxratio)
         delta_mags = 2.5 * jnp.log10(fr_tot)
-        lnp = jnp.full_like(delta_mags,
-                            np.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
+        lnp = (jnp.zeros_like(delta_mags)
+               + jnp.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
     else:
         delta_mags = delta_band_draw
         lnp = lnprior_background(N_comp, jnp.abs(delta_mags), seps, cons)
@@ -294,18 +295,22 @@ def sample_stp(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
                                    "stratified"))
 def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
                              *, N, flatpriors, has_cc, host_is_bg,
-                             stratified=True):
+                             stratified=True, n_comp=None):
     """DTP (host_is_bg=False) and BTP (host_is_bg=True): planet around the
     target diluted by a TRILEGAL background star, or around the background
     star itself (reference ml.py:1379-1568 DTP, :1840-2035 BTP).
 
     The draw-index quirk is preserved: DTP uses randint high = N_comp - 1
     (exclusive -> last star never drawn, ml.py:1463), BTP uses
-    high = N_comp (ml.py:1926)."""
+    high = N_comp (ml.py:1926).
+
+    n_comp: optional traced per-target population count (< the padded
+    table length) for the sharded batch path; defaults to the static
+    table length."""
     u = _uniforms(key, 5, N)
     key_idx = jax.random.fold_in(key, 777)
-    N_comp = bg["fluxratios"].shape[0]
-    hi = N_comp if host_is_bg else max(N_comp - 1, 1)
+    N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
+    hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
     idxs = jax.random.randint(key_idx, (N,), 0, hi)
     fluxratios_draw = bg["fluxratios"][idxs]
     delta_band_draw = bg["delta_band"][idxs]
@@ -538,14 +543,16 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
                                    "stratified"))
 def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
                          *, N, has_cc, host_is_bg, cc_filt="TESS",
-                         stratified=True):
+                         stratified=True, n_comp=None):
     """DEB (host_is_bg=False) and BEB (host_is_bg=True)
     (reference ml.py:1571-1837 DEB, :2038-2362 BEB). BEB applies the
-    distance correction to the EB flux ratio (ml.py:2146-2159)."""
+    distance correction to the EB flux ratio (ml.py:2146-2159).
+    n_comp: optional traced population count (see
+    sample_background_planet)."""
     u = _uniforms(key, 5, N)
     key_idx = jax.random.fold_in(key, 777)
-    N_comp = bg["fluxratios"].shape[0]
-    hi = N_comp if host_is_bg else max(N_comp - 1, 1)
+    N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
+    hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
     idxs = jax.random.randint(key_idx, (N,), 0, hi)
     fluxratios_draw = bg["fluxratios"][idxs]
     P = _draw_P(u[0], P_lo, P_hi)
@@ -592,9 +599,8 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
             delta_mags = 2.5 * jnp.log10(
                 fluxratios_draw / (1.0 - fluxratios_draw)
                 + fluxratios / (1.0 - fluxratios))
-            lnp = jnp.full_like(
-                delta_mags,
-                np.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
+            lnp = (jnp.zeros_like(delta_mags)
+                   + jnp.log((N_comp / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2))
         lnprior = clamp_companion_prior(lnp, delta_mags)
     else:
         lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
