@@ -28,22 +28,38 @@ def make_trilegal(path, n_stars=3000, Tmag_target=10.0, seed=0):
 
 
 def run_case(name, lc_file, stars_row, P_orb, tdepth, mission="TESS",
-             exptime=0.00139, N=1000000, anchor=None, **kw):
+             exptime=0.00139, N=1000000, anchor=None, stars_df=None,
+             inject=None, lc_override=None, key=1, **kw):
     import jax
     from triceratops_tpu import target
 
-    lc = pd.read_csv(os.path.join(REF, lc_file), header=None)
-    time_arr, flux = lc[0].values, lc[1].values
-    sigma = float(np.mean(lc[2].values))
+    if lc_override is not None:
+        time_arr, flux, sigma = lc_override
+    else:
+        lc = pd.read_csv(os.path.join(REF, lc_file), header=None)
+        time_arr, flux = lc[0].values, lc[1].values
+        sigma = float(np.mean(lc[2].values))
+    if stars_df is None:
+        stars_df = pd.DataFrame([stars_row])
+    else:
+        stars_row = stars_df.iloc[0]
     tri = make_trilegal(f"/tmp/golden_{name}_trilegal.csv",
                         Tmag_target=stars_row["Tmag"])
-    t = target.from_stars(pd.DataFrame([stars_row]), ID=stars_row["ID"],
+    t = target.from_stars(stars_df, ID=stars_row["ID"],
                           sectors=[1], trilegal_fname=tri)
     t.mission = mission
-    t.calc_depths(tdepth=tdepth)
+    if inject is not None:
+        # replicate the reference's published aperture dilution exactly:
+        # the notebook records per-star fluxratio/tdepth from the real
+        # SPOC aperture (TSCIII_tutorial.ipynb cell 18), which offline
+        # WCS-less calc_depths cannot reproduce
+        t.stars["fluxratio"] = inject["fluxratio"]
+        t.stars["tdepth"] = inject["tdepth"]
+    else:
+        t.calc_depths(tdepth=tdepth)
     t0 = _time.time()
     t.calc_probs(time_arr, flux, sigma, P_orb=P_orb, N=N, nsamples=20,
-                 exptime=exptime, verbose=0, key=jax.random.key(1), **kw)
+                 exptime=exptime, verbose=0, key=jax.random.key(key), **kw)
     wall = _time.time() - t0
     ref = f" (reference anchor: {anchor})" if anchor else ""
     print(f"{name}: FPP={t.FPP:.4g} NFPP={t.NFPP:.4g} "
@@ -51,21 +67,130 @@ def run_case(name, lc_file, stars_row, P_orb, tdepth, mission="TESS",
     return t
 
 
-def main():
-    run_case(
+def toi1228_field():
+    """TOI-1228 tdepth>0 star field with the reference's published
+    per-star aperture dilution (TSCIII_tutorial.ipynb cells 16-18)."""
+    cols = ["ID", "Tmag", "Jmag", "Hmag", "Kmag", "ra", "dec", "mass",
+            "rad", "Teff", "plx", "sep (arcsec)", "PA (E of N)"]
+    rows = [
+        ["300038935", 9.0963, 8.887, 8.854, 8.823, 107.843696, -68.833491,
+         2.13, 1.796260, 8557.0, 3.644910, 0.000, 0.000],
+        ["300038933", 14.2544, 13.082, 12.418, 12.225, 107.852043,
+         -68.832404, 0.58456, 0.595692, 3922.0, 3.706540, 11.535, 70.169],
+        ["300038940", 14.8737, 13.832, 13.213, 13.137, 107.848770,
+         -68.839563, 0.75, 0.641739, 4690.0, 1.934550, 22.832, 163.211],
+        ["300038932", 17.0169, 16.356, 15.803, 15.684, 107.860272,
+         -68.829404, 0.96, 0.580447, 5484.0, 0.565248, 26.094, 55.680],
+        ["300038925", 14.2296, 13.282, 12.879, 12.705, 107.852177,
+         -68.817218, 0.88, 0.863853, 5192.0, 1.569100, 59.611, 10.666],
+        ["300038947", 12.4406, 11.452, 10.912, 10.810, 107.874142,
+         -68.852895, np.nan, 3.224470, 4986.0, 1.040730, 80.277, 150.491],
+    ]
+    df = pd.DataFrame(rows, columns=cols)
+    inject = dict(
+        fluxratio=[0.979954, 0.008361, 0.004675, 0.000589, 0.001471,
+                   0.003010],
+        tdepth=[0.000415, 0.048680, 0.087064, 0.690429, 0.276603,
+                0.135210])
+    return df, inject
+
+
+def toi1228_lc(binned: bool):
+    """(time, flux, sigma) from the 20,100-pt folded light curve; either
+    the reference's 200-bin form (TSCIII_tutorial.ipynb cell 5) or the
+    raw unbinned points in the same |t| < 0.4 d window."""
+    lc = pd.read_csv(os.path.join(REF, "TOI1228_folded_lightcurve.csv"))
+    t = lc.x_fold.values
+    y = lc.y.values + 1
+    m = np.abs(t) < 0.4
+    t, y = t[m], y[m]
+    if binned:
+        edges = np.linspace(t.min(), t.max(), 201)
+        idx = np.clip(np.searchsorted(edges, t) - 1, 0, 199)
+        tb = np.array([t[idx == i].mean() for i in range(200)])
+        yb = np.array([y[idx == i].mean() for i in range(200)])
+        ok = np.isfinite(tb) & np.isfinite(yb)
+        tb, yb = tb[ok], yb[ok]
+        return tb, yb, float(np.std(yb[:50]))
+    order = np.argsort(t)
+    t, y = t[order], y[order]
+    return t, y, float(np.std(y[np.abs(t) > 0.25]))
+
+
+def run_kepler10(N=1000000, key=1, **kw):
+    return run_case(
         "Kepler-10b", "Kepler10b_lightcurve.csv",
         dict(ID="11904151", Tmag=10.96, Jmag=9.889, Hmag=9.563, Kmag=9.496,
              ra=285.679, dec=50.241, mass=0.91, rad=1.065, Teff=5708.0,
              plx=5.88, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0}),
-        P_orb=0.837, tdepth=1.52e-4, mission="Kepler",
-        anchor="FPP 8.4e-6, NFPP 0 (BASELINE.md)")
-    run_case(
+        P_orb=0.837, tdepth=1.52e-4, mission="Kepler", N=N, key=key,
+        anchor="FPP 8.4e-6, NFPP 0 (BASELINE.md)", **kw)
+
+
+def run_toi465(N=1000000, key=1, **kw):
+    return run_case(
         "TOI-465.01", "TOI465_01_lightcurve.csv",
         dict(ID="422756130", Tmag=9.66, Jmag=8.87, Hmag=8.62, Kmag=8.55,
              ra=86.25, dec=-57.54, mass=1.09, rad=1.06, Teff=5950.0,
              plx=10.9, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0}),
-        P_orb=3.18, tdepth=2.64e-3,
-        anchor="FPP 0.043 +/- 0.058 over 20 runs (BASELINE.md)")
+        P_orb=3.18, tdepth=2.64e-3, N=N, key=key,
+        anchor="FPP 0.043 +/- 0.058 over 20 runs (BASELINE.md)", **kw)
+
+
+def run_toi411(N=1000000, key=1, **kw):
+    # target star from example.ipynb cell 23 output; all nearby stars
+    # have tdepth = 0 (target fluxratio 0.99992 ~ 1), so the single-star
+    # field reproduces the same scenario set. J/H/K only matter for
+    # non-TESS contrast-curve bands (none here).
+    return run_case(
+        "TOI-411.02", "TOI411_02_lightcurve.csv",
+        dict(ID="100990000", Tmag=7.757, Jmag=7.2, Hmag=7.0, Kmag=6.95,
+             ra=54.819841, dec=-42.762551, mass=1.17, rad=1.11672,
+             Teff=6161.0, plx=15.8999,
+             **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0}),
+        P_orb=4.040051, tdepth=0.000166, N=N, key=key,
+        anchor="FPP 0.0399, NFPP 0.0 (example.ipynb cell 25)", **kw)
+
+
+def run_toi1228(N=1000000, key=1, binned=False, drop_companions=False):
+    """TOI-1228 with its real contrast curve.
+
+    The published anchor additionally used
+    molusc_file="TOI1228_molusc_kept.csv" (TSCIII_tutorial.ipynb cell
+    20) — a stripped large blob offline (.MISSING_LARGE_BLOBS) encoding
+    the imaging+RV companion constraints. Without it the FPP is
+    dominated by the bound-companion scenarios MOLUSC rules out
+    (PTP+STP ~ 0.35 of probability -> FPP ~ 0.12); with
+    drop_companions=True those scenarios are dropped as a
+    fully-ruled-out proxy and the remaining FP mass is comparable to
+    the anchor."""
+    stars_df, inject = toi1228_field()
+    lc = toi1228_lc(binned)
+    label = ("TOI-1228" + ("-binned200" if binned else "-unbinned")
+             + ("-nocomp" if drop_companions else ""))
+    kw = {}
+    if drop_companions:
+        kw["drop_scenario"] = ["PTP", "PEB", "PEBx2P", "STP", "SEB",
+                               "SEBx2P"]
+        anchor = ("FPP 4.09e-7, NFPP 2.36e-7 w/ MOLUSC companion "
+                  "constraints (proxy: companions dropped)")
+    else:
+        anchor = ("FPP 4.09e-7 WITH the offline-unavailable MOLUSC "
+                  "file; without it FPP ~ P(PTP)+P(STP) by construction")
+    return run_case(
+        label, None, None, P_orb=29.04992, tdepth=0.000407,
+        stars_df=stars_df, inject=inject, lc_override=lc, N=N, key=key,
+        contrast_curve_file=os.path.join(REF, "TOI1228_cc.tbl"),
+        filt="TESS", anchor=anchor, **kw)
+
+
+def main():
+    run_kepler10()
+    run_toi465()
+    run_toi411()
+    run_toi1228(binned=True)
+    run_toi1228(binned=True, drop_companions=True)
+    run_toi1228(binned=False, drop_companions=True)
 
 
 if __name__ == "__main__":

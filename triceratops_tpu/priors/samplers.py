@@ -84,27 +84,61 @@ def sample_w(x):
 # ---------------------------------------------------------------------------
 
 _BETA_A, _BETA_B = 0.867, 3.030
-_BETA_TABLE_N = 8193
+# Gather-free Beta PPF: two Chebyshev segments in the cusp-absorbing
+# variables v = u^{1/a} (u <= _BETA_USPLIT; PPF = v R(v), R analytic)
+# and w = (1-u)^{1/b} (u > _BETA_USPLIT; PPF = 1 - w S(w)). Replaces the
+# former 8193-point jnp.interp table: the binary-search gathers cost
+# ~120 ms per 1e6-draw planet sampler on a v5e; this form is one pow +
+# a 16-step Clenshaw on scalar constants (~free). Max |error| vs
+# scipy.stats.beta.ppf: 2.7e-7 over u in [0, 1].
+_BETA_USPLIT = 0.9
+_BETA_M = 16
 
 
 @lru_cache(maxsize=None)
-def _beta_ppf_table():
+def _beta_ppf_cheb():
     from scipy.stats import beta as _beta
-    u = np.linspace(0.0, 1.0, _BETA_TABLE_N)
-    ppf = _beta.ppf(u, _BETA_A, _BETA_B)
-    ppf[0], ppf[-1] = 0.0, 1.0
-    return u.astype(np.float64), ppf
+
+    theta = (np.arange(_BETA_M) + 0.5) * np.pi / _BETA_M
+    xn = np.cos(theta)
+    dct = (2.0 / _BETA_M) * np.cos(np.outer(np.arange(_BETA_M), theta))
+    dct[0] *= 0.5
+    vmax = _BETA_USPLIT ** (1.0 / _BETA_A)
+    v = 0.5 * vmax * (xn + 1.0)
+    cL = dct @ (_beta.ppf(v**_BETA_A, _BETA_A, _BETA_B) / v)
+    wmax = (1.0 - _BETA_USPLIT) ** (1.0 / _BETA_B)
+    w = 0.5 * wmax * (xn + 1.0)
+    cH = dct @ ((1.0 - _beta.ppf(1.0 - w**_BETA_B, _BETA_A, _BETA_B)) / w)
+    return cL, cH, vmax, wmax
+
+
+def _beta_ppf(u):
+    """Beta(0.867, 3.030) quantile, branch-free (see _beta_ppf_cheb)."""
+    cL, cH, vmax, wmax = _beta_ppf_cheb()
+    hi = u > _BETA_USPLIT
+    u_safe = jnp.clip(u, 0.0, 1.0)
+    v = u_safe ** (1.0 / _BETA_A)
+    w = (1.0 - u_safe) ** (1.0 / _BETA_B)
+    t = jnp.where(hi, w, v)
+    xx = jnp.where(hi, 2.0 * w / wmax, 2.0 * v / vmax) - 1.0
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    two_x = 2.0 * xx
+    for m in range(_BETA_M - 1, 0, -1):
+        cm = jnp.where(hi, cH[m], cL[m]).astype(u.dtype)
+        b1, b2 = cm + two_x * b1 - b2, b1
+    c0 = jnp.where(hi, cH[0], cL[0]).astype(u.dtype)
+    series = c0 + xx * b1 - b2
+    return jnp.clip(jnp.where(hi, 1.0 - t * series, t * series), 0.0, 1.0)
 
 
 def sample_ecc(x, planet: bool, P_orb):
-    """Eccentricities. planet: Beta(0.867,3.030) inverse CDF (table);
-    binary: powerlaw exponent 0.2 if P_orb<=10 else 0.6. P_orb may be a
-    traced scalar (mean period)."""
+    """Eccentricities. planet: Beta(0.867,3.030) inverse CDF (gather-free
+    Chebyshev form); binary: powerlaw exponent 0.2 if P_orb<=10 else 0.6.
+    P_orb may be a traced scalar (mean period)."""
     x = jnp.asarray(x)
     if planet:
-        u_grid, ppf = _beta_ppf_table()
-        return jnp.interp(x, jnp.asarray(u_grid, dtype=x.dtype),
-                          jnp.asarray(ppf, dtype=x.dtype))
+        return _beta_ppf(x)
     exponent = jnp.where(jnp.asarray(P_orb) <= 10.0, 1.0 / 0.2, 1.0 / 0.6)
     return x ** exponent
 
