@@ -104,8 +104,9 @@ class TestFullFPPSharded:
         out = {}
         for nts in (1, 4):
             mesh = make_mesh(8, n_target_shards=nts)
-            fpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
-                                      chunk=1024, has_cc=has_cc)
+            fpp, _nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t,
+                                             ns=2, chunk=1024,
+                                             has_cc=has_cc)
             out[nts] = (np.asarray(fpp), np.asarray(lnZ))
             assert np.all(np.isfinite(out[nts][1]))
             assert np.all((out[nts][0] >= 0) & (out[nts][0] <= 1))
@@ -126,8 +127,8 @@ class TestFullFPPSharded:
 
         N = 8 * 8192
         mesh = make_mesh(8, n_target_shards=1)
-        fpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
-                                  chunk=1024, has_cc=has_cc)
+        fpp, _nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
+                                         chunk=1024, has_cc=has_cc)
         lnZ = np.asarray(lnZ)[0]
         fpp = float(np.asarray(fpp)[0])
 
@@ -166,3 +167,41 @@ class TestFullFPPSharded:
         assert np.all(d[twin] < 8.0), \
             dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
         assert abs(fpp - fpp_api) < 0.05, (fpp, fpp_api)
+
+
+class TestNearbyStarsSharded:
+    def test_nearby_rows_and_nfpp(self, full_batch_inputs):
+        """A batch target with a nearby star grows 3 lnZ rows and a
+        nonzero NFPP; parity vs the frontend's NTP/NEB rows (same
+        renormalized flux, same scenario reuse,
+        reference triceratops.py:1344-1428)."""
+        targets, _, n_t, _, trilegal = full_batch_inputs
+        from triceratops_tpu.scenarios import api
+
+        t0 = dict(targets[0])
+        t0["nearby"] = [dict(mass=0.8, rad=0.8, Teff=5000.0, Z=0.0,
+                             fluxratio=0.01, tdepth=0.5)]
+        batch, n_t_b, has_cc = prepare_target_batch([t0, dict(targets[1])])
+        mesh = make_mesh(8, n_target_shards=1)
+        N = 8 * 4096
+        fpp, nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
+                                        chunk=1024, has_cc=has_cc)
+        fpp = np.asarray(fpp)
+        nfpp = np.asarray(nfpp)
+        lnZ = np.asarray(lnZ)
+        assert lnZ.shape == (2, 18)
+        # target 2 has no nearby star -> padded slot at -inf, NFPP 0
+        assert np.all(np.isinf(lnZ[1, 15:])) and lnZ[1, 15:].max() < 0
+        assert nfpp[1] == 0.0
+        assert np.all(np.isfinite(lnZ[0, 15:]))
+        assert 0.0 <= nfpp[0] <= 1.0
+
+        # parity of the NTP row against the api on the renormalized flux
+        fr = 0.01
+        flux = np.asarray(t0["flux"])
+        renormed = (flux - (1 - fr)) / fr
+        r_ntp = api.lnZ_TTP(t0["time"], renormed, t0["sigma"] / fr,
+                            t0["P_orb"], 0.8, 0.8, 5000.0, 0.0, N=N,
+                            nsamples=2, key=jax.random.key(5))
+        assert abs(lnZ[0, 15] - float(r_ntp["lnZ"])) < 1.5, \
+            (lnZ[0, 15], float(r_ntp["lnZ"]))

@@ -122,12 +122,13 @@ def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
                             trilegal_fname=trilegal, key=jax.random.key(i)))
     batch, _, has_cc = prepare_target_batch(targets)
     t0 = _time.time()
-    fpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
-                              chunk=4096, has_cc=has_cc)
+    fpp, nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
+                                    chunk=4096, has_cc=has_cc)
     fpp = np.asarray(fpp)
+    nfpp = np.asarray(nfpp)
     wall = _time.time() - t0
     rows = [dict(TOI=row["TOI"], TICID=row["TICID"], Rp=row["Rp"],
-                 Porb=row["Porb"], FPP=float(fpp[i]), NFPP=0.0,
+                 Porb=row["Porb"], FPP=float(fpp[i]), NFPP=float(nfpp[i]),
                  FPP_paper=row["FPP"], NFPP_paper=row["NFPP"],
                  Classification=row["Classification"])
             for i, (_, row) in enumerate(cat.iterrows())]

@@ -149,10 +149,14 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
     Each element of ``targets`` is a dict with keys: time (n_t,), flux
     (n_t,), sigma, P_orb, M_s, R_s, Teff, Z, plx, Tmag, Jmag, Hmag, Kmag,
     trilegal_fname, and optionally key (jax PRNG key), contrast_curve
-    (seps, cons) arrays. Light curves must share one n_t (one compiled
-    program per shape). TRILEGAL tables are padded to the longest by
-    repeating the last row; the true count rides in n_comp so padded rows
-    are never drawn.
+    (seps, cons) arrays, and nearby — a list of dicts (mass, rad, Teff,
+    Z, fluxratio, tdepth) for the resolved nearby stars that passed the
+    tdepth > 0 gate (NTP/NEB/NEBx2P rows -> NFPP; NaN stellar properties
+    get the reference's solar fallbacks, triceratops.py:1344-1363).
+    Light curves must share one n_t (one compiled program per shape).
+    TRILEGAL tables are padded to the longest by repeating the last row;
+    the true count rides in n_comp so padded rows are never drawn;
+    nearby slots are padded to the max count with valid = False.
     """
     import jax.random as jrandom
     from ..scenarios.api import _prep_background
@@ -214,8 +218,37 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
         bg=bg, n_comp=np.asarray(ncomp, np.int32),
         seps=seps, cons=cons,
     )
-    batch = {k: (v if k == "bg" else jnp.asarray(v)) for k, v in batch.items()}
+    K = max((len(t.get("nearby", ())) for t in targets), default=0)
+    if K > 0:
+        nb = {k: np.zeros((B, K), f32) for k in
+              ("M_s", "R_s", "Teff", "u1", "u2", "fluxratio")}
+        nb["valid"] = np.zeros((B, K), bool)
+        nb["fluxratio"][:] = 1.0
+        nb["M_s"][:] = 1.0
+        nb["R_s"][:] = 1.0
+        nb["Teff"][:] = 5780.0
+        for i, t in enumerate(targets):
+            for kk, s in enumerate(t.get("nearby", ())):
+                m_k = s.get("mass", np.nan)
+                r_k = s.get("rad", np.nan)
+                T_k = s.get("Teff", np.nan)
+                nb["M_s"][i, kk] = 1.0 if np.isnan(m_k) else m_k
+                nb["R_s"][i, kk] = 1.0 if np.isnan(r_k) else r_k
+                nb["Teff"][i, kk] = 5780.0 if np.isnan(T_k) else T_k
+                nb["fluxratio"][i, kk] = s["fluxratio"]
+                nb["valid"][i, kk] = True
+                from ..constants import G, MSUN, RSUN
+                logg = float(np.log10(G * (nb["M_s"][i, kk] * MSUN)
+                                      / (nb["R_s"][i, kk] * RSUN) ** 2))
+                nb["u1"][i, kk], nb["u2"][i, kk] = lookup_target(
+                    s.get("Z", 0.0), nb["Teff"][i, kk], logg, mission)
+        batch["nearby"] = nb
+    batch = {k: (v if k in ("bg", "nearby") else jnp.asarray(v))
+             for k, v in batch.items()}
     batch["bg"] = {k: jnp.asarray(v) for k, v in batch["bg"].items()}
+    if K > 0:
+        batch["nearby"] = {k: jnp.asarray(v)
+                           for k, v in batch["nearby"].items()}
     return batch, n_t, has_cc
 
 
@@ -223,13 +256,18 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
                    chunk: int = 1024, exptime: float = 0.00139,
                    flatpriors: bool = False, has_cc: bool = False,
                    cc_filt: str | None = None):
-    """FPP over all 15 target-star scenarios for a batch of targets.
+    """FPP/NFPP over the full scenario taxonomy for a batch of targets:
+    the 15 target-star scenarios plus NTP/NEB/NEBx2P per nearby-star
+    slot when the batch carries a 'nearby' block
+    (reference triceratops.py:716-1428).
 
     The batch axis shards over 'targets'; each target's N draws split
     over 'draws' (i.i.d. per shard via folded keys); the only cross-chip
     communication is the per-scenario evidence logsumexp over ICI.
-    Returns (FPP, NFPP-less lnZ (B, 15)) ordered as FULL_SCENARIOS;
-    FPP = 1 - (P_TP + P_PTP + P_DTP) (reference triceratops.py:1479).
+    Returns (FPP, NFPP, lnZ (B, 15 + 3K)) ordered as FULL_SCENARIOS then
+    (NTP, NEB, NEBx2P) per slot; FPP = 1 - (P_TP + P_PTP + P_DTP),
+    NFPP = sum of the nearby-star probabilities (triceratops.py:
+    1479-1483). Invalid (padding) slots carry lnZ = -inf.
 
     ``batch`` comes from ``prepare_target_batch`` (or hand-assembled
     arrays with the same keys). ``cc_filt`` must be set when has_cc.
@@ -258,18 +296,22 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
             m, s = _local_lnZ_parts(lnL + lnw)
             return _combine_lnZ(m, s, N, "draws")
 
-        def planet(d, u1x, u2x, g, lnprior):
-            lnL = lnL_planet(time_i, obs_i, sigma, d["k"], d["P"], d["a_R"],
+        def planet(d, u1x, u2x, g, lnprior, obs=None, sig=None):
+            obs = obs_i if obs is None else obs
+            sig = sigma if sig is None else sig
+            lnL = lnL_planet(time_i, obs, sig, d["k"], d["P"], d["a_R"],
                              d["inc_rad"], d["eccs"], d["w_rad"], u1x, u2x,
                              g, d["mask"], **kw)
             return ev(lnL, lnprior + d["lnw"])
 
-        def eb_pair(d, u1x, u2x, lnprior):
-            lnL = lnL_eb(time_i, obs_i, sigma, d["k"], d["ksec"], d["P"],
+        def eb_pair(d, u1x, u2x, lnprior, obs=None, sig=None):
+            obs = obs_i if obs is None else obs
+            sig = sigma if sig is None else sig
+            lnL = lnL_eb(time_i, obs, sig, d["k"], d["ksec"], d["P"],
                          d["a_R"], d["inc_rad"], d["eccs"], d["w_rad"],
                          u1x, u2x, d["g_pri"], d["g_sec"], d["mask"],
                          apply_veto=True, **kw)
-            lnL_t = lnL_eb(time_i, obs_i, sigma, d["k"], d["ksec"],
+            lnL_t = lnL_eb(time_i, obs, sig, d["k"], d["ksec"],
                            2.0 * d["P"], d["a_R_twin"], d["inc_rad_twin"],
                            d["eccs"], d["w_rad"], u1x, u2x, d["g_pri"],
                            d["g_sec"], d["mask_twin"], apply_veto=False,
@@ -331,13 +373,43 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
             cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
         lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
 
+        # nearby-star rows: NTP/NEB/NEBx2P per slot on the flux
+        # renormalized for that star's aperture contribution
+        # (renorm_flux, reference funcs.py:164-177; scenario reuse
+        # triceratops.py:1344-1428)
+        nearby = b.get("nearby")
+        if nearby is not None:
+            K = nearby["valid"].shape[0]
+            neg = jnp.float32(-jnp.inf)
+            for kk in range(K):
+                fr = nearby["fluxratio"][kk]
+                valid = nearby["valid"][kk]
+                nM, nR = nearby["M_s"][kk], nearby["R_s"][kk]
+                nT = nearby["Teff"][kk]
+                nu1 = jnp.full((N_local,), nearby["u1"][kk], jnp.float32)
+                nu2 = jnp.full((N_local,), nearby["u2"][kk], jnp.float32)
+                obs_k = obs_i / fr
+                sig_k = sigma / fr
+                kA, kB = jax.random.split(jax.random.fold_in(key, 100 + kk))
+                d = eng.sample_planet_target(kA, P_orb, P_orb, nM, nR,
+                                             N=N_local,
+                                             flatpriors=flatpriors)
+                z = planet(d, nu1, nu2, ones, 0.0, obs=obs_k, sig=sig_k)
+                lnZ.append(jnp.where(valid, z, neg))
+                d = eng.sample_teb(kB, P_orb, P_orb, nM, nR, nT, N=N_local)
+                z1, z2 = eb_pair(d, nu1, nu2, 0.0, obs=obs_k, sig=sig_k)
+                lnZ.append(jnp.where(valid, z1, neg))
+                lnZ.append(jnp.where(valid, z2, neg))
+
         lnZv = jnp.stack(lnZ)
         probs = jnp.exp(lnZv - logsumexp_jax(lnZv))
         fpp = 1.0 - (probs[0] + probs[3] + probs[9])
-        return fpp, lnZv
+        nfpp = jnp.sum(probs[15:]) if len(lnZ) > 15 else jnp.float32(0.0)
+        return fpp, nfpp, lnZv
 
     @partial(shard_map, mesh=mesh, in_specs=(P("targets"),),
-             out_specs=(P("targets"), P("targets")), check_rep=False)
+             out_specs=(P("targets"), P("targets"), P("targets")),
+             check_rep=False)
     def step(batch_shard):
         return jax.vmap(per_target)(batch_shard)
 
