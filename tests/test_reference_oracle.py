@@ -463,3 +463,92 @@ class TestEngineGeometryOracle:
             d["mask_twin"] | ~(d["qs"] >= 0.95) | ~(Ptra_twin <= 1.0)
             | ~(cosi_t <= Ptra_twin) | coll_twin,
             np.ones_like(d["mask_twin"]))
+
+
+class TestBackgroundOracle:
+    """Background-scenario chains (DTP/BTP/BEB) vs the reference
+    formulas at the engine's own draws: draw-index quirks, dilution
+    direction, density prior, clamps, distance correction
+    (reference ml.py:1379-1568 DTP, :1840-2035 BTP, :2038-2362 BEB)."""
+
+    def _bg(self, n=64, seed=5):
+        rng = np.random.default_rng(seed)
+        fr = rng.uniform(0.005, 0.45, n).astype(np.float32)
+        bg = dict(
+            fluxratios=fr,
+            delta_band=(-2.5 * np.log10(fr / (1 - fr))).astype(np.float32),
+            masses=rng.uniform(0.2, 1.4, n).astype(np.float32),
+            radii=rng.uniform(0.2, 1.5, n).astype(np.float32),
+            loggs=rng.uniform(3.0, 5.0, n).astype(np.float32),
+            teffs=rng.uniform(3200, 11000, n).astype(np.float32),
+            u1s=rng.uniform(0.2, 0.6, n).astype(np.float32),
+            u2s=rng.uniform(0.0, 0.3, n).astype(np.float32),
+        )
+        bg["fluxratios_cc"] = bg["fluxratios"]
+        return {k: jnp.asarray(v) for k, v in bg.items()}, n
+
+    def test_dtp_chain(self):
+        bg, n = self._bg()
+        seps = jnp.asarray(np.array([2.2], np.float32))
+        cons = jnp.asarray(np.array([1.0], np.float32))
+        d = jax.tree_util.tree_map(np.asarray, eng.sample_background_planet(
+            jax.random.key(3), 3.0, 3.0, np.float32(1.0), np.float32(1.0),
+            bg, seps, cons, N=8192, flatpriors=False, has_cc=False,
+            host_is_bg=False, stratified=False))
+        # DTP randint high = N_comp - 1 (exclusive): the last star is
+        # never drawn (ml.py:1463)
+        assert d["idxs"].max() <= n - 2
+        fr = np.asarray(bg["fluxratios"])[d["idxs"]]
+        F = fr / (1 - fr)
+        np.testing.assert_allclose(d["g"], 1.0 / (1.0 + F), rtol=1e-6)
+        # density prior: ln(N/0.1 deg^2 * 2.2^2/3600^2), clamped <= 0;
+        # companions brighter than the host (delta_mag > 0) -> -inf
+        lnp_const = np.log((n / 0.1) * (1.0 / 3600.0) ** 2 * 2.2**2)
+        delta_mags = 2.5 * np.log10(F)
+        lnp_ref = np.minimum(np.full_like(F, lnp_const), 0.0)
+        lnp_ref = np.where(delta_mags > 0.0, -np.inf, lnp_ref)
+        np.testing.assert_allclose(d["lnprior"], lnp_ref, rtol=1e-6)
+        # host is the target: no population cut enters the mask
+        assert d["host_mass"].min() == d["host_mass"].max() == 1.0
+
+    def test_btp_chain(self):
+        bg, n = self._bg()
+        seps = jnp.asarray(np.array([2.2], np.float32))
+        cons = jnp.asarray(np.array([1.0], np.float32))
+        d = jax.tree_util.tree_map(np.asarray, eng.sample_background_planet(
+            jax.random.key(4), 3.0, 3.0, np.float32(1.0), np.float32(1.0),
+            bg, seps, cons, N=8192, flatpriors=False, has_cc=False,
+            host_is_bg=True, stratified=False))
+        # BTP randint high = N_comp: all stars reachable (ml.py:1926)
+        assert d["idxs"].max() == n - 1
+        fr = np.asarray(bg["fluxratios"])[d["idxs"]]
+        F = fr / (1 - fr)
+        # host is the background star: opposite dilution direction
+        np.testing.assert_allclose(d["g"], 1.0 / (1.0 + 1.0 / F),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            d["host_mass"], np.asarray(bg["masses"])[d["idxs"]], rtol=1e-6)
+        # population cuts (logg >= 3.5, Teff <= 10000) enter the mask
+        bad = ((np.asarray(bg["loggs"])[d["idxs"]] < 3.5)
+               | (np.asarray(bg["teffs"])[d["idxs"]] > 10000.0))
+        assert not np.any(d["mask"] & bad)
+
+    def test_beb_distance_correction(self):
+        bg, n = self._bg()
+        seps = jnp.asarray(np.array([2.2], np.float32))
+        cons = jnp.asarray(np.array([1.0], np.float32))
+        M_s = np.float32(1.0)
+        d = jax.tree_util.tree_map(np.asarray, eng.sample_background_eb(
+            jax.random.key(5), 3.0, 3.0, M_s, np.float32(1.0),
+            np.float32(5800.0), bg, seps, cons, N=8192, has_cc=False,
+            host_is_bg=True, stratified=False))
+        idxs = d["idxs"]
+        host_mass = np.asarray(bg["masses"])[idxs]
+        fr_draw = np.asarray(bg["fluxratios"])[idxs]
+        f_host = flux_relation(host_mass, "TESS")
+        f_targ = flux_relation(np.array([1.0]), "TESS")
+        fr_bound = f_host / (f_host + f_targ)
+        dist_corr = fr_draw / fr_bound
+        f_eb = flux_relation(d["qs"] * host_mass, "TESS")
+        fr_eb_ref = (f_eb / (f_eb + f_targ)) * dist_corr
+        np.testing.assert_allclose(d["fluxratios"], fr_eb_ref, rtol=2e-4)
