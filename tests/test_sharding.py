@@ -205,3 +205,22 @@ class TestNearbyStarsSharded:
                             nsamples=2, key=jax.random.key(5))
         assert abs(lnZ[0, 15] - float(r_ntp["lnZ"])) < 1.5, \
             (lnZ[0, 15], float(r_ntp["lnZ"]))
+
+
+def test_drop_scenario_sharded(full_batch_inputs):
+    """drop_scenario entries get lnZ = -inf without being computed
+    (reference triceratops.py:784-789 semantics)."""
+    _, batch, n_t, has_cc, _ = full_batch_inputs
+    mesh = make_mesh(8, n_target_shards=1)
+    N = 8 * 2048
+    drop = ("EB", "EBx2P", "PEB", "PEBx2P", "SEB", "SEBx2P",
+            "DEB", "DEBx2P", "BEB", "BEBx2P")
+    fpp, nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
+                                    chunk=1024, has_cc=has_cc,
+                                    drop_scenario=drop)
+    lnZ = np.asarray(lnZ)
+    dropped = [i for i, s in enumerate(FULL_SCENARIOS) if s in drop]
+    kept = [i for i in range(15) if i not in dropped]
+    assert np.all(np.isneginf(lnZ[:, dropped]))
+    assert np.all(np.isfinite(lnZ[:, kept]))
+    assert np.all((np.asarray(fpp) >= 0) & (np.asarray(fpp) <= 1))

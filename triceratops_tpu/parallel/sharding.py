@@ -255,7 +255,8 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
 def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
                    chunk: int = 1024, exptime: float = 0.00139,
                    flatpriors: bool = False, has_cc: bool = False,
-                   cc_filt: str | None = None):
+                   cc_filt: str | None = None,
+                   drop_scenario: tuple = ()):
     """FPP/NFPP over the full scenario taxonomy for a batch of targets:
     the 15 target-star scenarios plus NTP/NEB/NEBx2P per nearby-star
     slot when the batch carries a 'nearby' block
@@ -271,12 +272,20 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
 
     ``batch`` comes from ``prepare_target_batch`` (or hand-assembled
     arrays with the same keys). ``cc_filt`` must be set when has_cc.
+    ``drop_scenario`` names from FULL_SCENARIOS get lnZ = -inf (the
+    reference's semantics, triceratops.py:784-789; like the frontend,
+    nearby-star rows cannot be dropped — docs/parity.md item 9).
     """
     n_d = mesh.shape["draws"]
     if N % n_d:
         raise ValueError(f"N={N} must divide the draws axis ({n_d})")
     N_local = N // n_d
     eff_cc_filt = cc_filt if has_cc else None
+    unknown = set(drop_scenario) - set(FULL_SCENARIOS)
+    if unknown - {"NTP", "NEB", "NEBx2P"}:
+        raise ValueError(f"unknown drop_scenario entries: {sorted(unknown)}")
+    drop_idx = tuple(i for i, s in enumerate(FULL_SCENARIOS)
+                     if s in drop_scenario)
 
     def per_target(b):
         d_idx = jax.lax.axis_index("draws")
@@ -320,58 +329,68 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
                     ev(lnL_t, lnprior + d["lnw_twin"]))
 
         lnZ = [None] * 15
-        # TP (reference triceratops.py:797)
-        d = eng.sample_planet_target(ks[0], P_orb, P_orb, M_s, R_s,
-                                     N=N_local, flatpriors=flatpriors)
-        lnZ[0] = planet(d, u1a, u2a, ones, 0.0)
-        # EB, EBx2P (:843)
-        d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff, N=N_local)
-        lnZ[1], lnZ[2] = eb_pair(d, u1a, u2a, 0.0)
-        # PTP (:904)
-        d = eng.sample_ptp(ks[2], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
-                           seps, cons, N=N_local, flatpriors=flatpriors,
-                           use_molusc=False, cc_filt=eff_cc_filt)
-        lnZ[3] = planet(d, u1a, u2a, d["g"], d["lnprior"])
-        # PEB, PEBx2P (:953)
-        d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
-                           seps, cons, N=N_local, use_molusc=False,
-                           cc_filt=eff_cc_filt)
-        lnZ[4], lnZ[5] = eb_pair(d, u1a, u2a, d["lnprior"])
-        # STP (:1017)
-        d = eng.sample_stp(ks[4], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
-                           b["u1_tab10"], b["u2_tab10"], seps, cons,
-                           N=N_local, flatpriors=flatpriors,
-                           use_molusc=False, cc_filt=eff_cc_filt)
-        lnZ[6] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
-        # SEB, SEBx2P (:1066)
-        d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
-                           b["u1_tab13"], b["u2_tab13"], seps, cons,
-                           N=N_local, use_molusc=False, cc_filt=eff_cc_filt)
-        lnZ[7], lnZ[8] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
-        # DTP (:1130)
-        d = eng.sample_background_planet(
-            ks[6], P_orb, P_orb, M_s, R_s, b["bg"], seps, cons, N=N_local,
-            flatpriors=flatpriors, has_cc=has_cc, host_is_bg=False,
-            n_comp=b["n_comp"])
-        lnZ[9] = planet(d, u1a, u2a, d["g"], d["lnprior"])
-        # DEB, DEBx2P (:1178)
-        d = eng.sample_background_eb(
-            ks[7], P_orb, P_orb, M_s, R_s, Teff, b["bg"], seps, cons,
-            N=N_local, has_cc=has_cc, host_is_bg=False,
-            cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
-        lnZ[10], lnZ[11] = eb_pair(d, u1a, u2a, d["lnprior"])
-        # BTP (:1242)
-        d = eng.sample_background_planet(
-            jax.random.fold_in(ks[6], 1), P_orb, P_orb, M_s, R_s, b["bg"],
-            seps, cons, N=N_local, flatpriors=flatpriors, has_cc=has_cc,
-            host_is_bg=True, n_comp=b["n_comp"])
-        lnZ[12] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
-        # BEB, BEBx2P (:1291)
-        d = eng.sample_background_eb(
-            jax.random.fold_in(ks[7], 1), P_orb, P_orb, M_s, R_s, Teff,
-            b["bg"], seps, cons, N=N_local, has_cc=has_cc, host_is_bg=True,
-            cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
-        lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+        if not set((0,)) <= set(drop_idx):
+            # TP (reference triceratops.py:797)
+            d = eng.sample_planet_target(ks[0], P_orb, P_orb, M_s, R_s,
+                                         N=N_local, flatpriors=flatpriors)
+            lnZ[0] = planet(d, u1a, u2a, ones, 0.0)
+        if not set((1, 2)) <= set(drop_idx):
+            # EB, EBx2P (:843)
+            d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff, N=N_local)
+            lnZ[1], lnZ[2] = eb_pair(d, u1a, u2a, 0.0)
+        if not set((3,)) <= set(drop_idx):
+            # PTP (:904)
+            d = eng.sample_ptp(ks[2], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                               seps, cons, N=N_local, flatpriors=flatpriors,
+                               use_molusc=False, cc_filt=eff_cc_filt)
+            lnZ[3] = planet(d, u1a, u2a, d["g"], d["lnprior"])
+        if not set((4, 5)) <= set(drop_idx):
+            # PEB, PEBx2P (:953)
+            d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                               seps, cons, N=N_local, use_molusc=False,
+                               cc_filt=eff_cc_filt)
+            lnZ[4], lnZ[5] = eb_pair(d, u1a, u2a, d["lnprior"])
+        if not set((6,)) <= set(drop_idx):
+            # STP (:1017)
+            d = eng.sample_stp(ks[4], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                               b["u1_tab10"], b["u2_tab10"], seps, cons,
+                               N=N_local, flatpriors=flatpriors,
+                               use_molusc=False, cc_filt=eff_cc_filt)
+            lnZ[6] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
+        if not set((7, 8)) <= set(drop_idx):
+            # SEB, SEBx2P (:1066)
+            d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
+                               b["u1_tab13"], b["u2_tab13"], seps, cons,
+                               N=N_local, use_molusc=False, cc_filt=eff_cc_filt)
+            lnZ[7], lnZ[8] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+        if not set((9,)) <= set(drop_idx):
+            # DTP (:1130)
+            d = eng.sample_background_planet(
+                ks[6], P_orb, P_orb, M_s, R_s, b["bg"], seps, cons, N=N_local,
+                flatpriors=flatpriors, has_cc=has_cc, host_is_bg=False,
+                n_comp=b["n_comp"])
+            lnZ[9] = planet(d, u1a, u2a, d["g"], d["lnprior"])
+        if not set((10, 11)) <= set(drop_idx):
+            # DEB, DEBx2P (:1178)
+            d = eng.sample_background_eb(
+                ks[7], P_orb, P_orb, M_s, R_s, Teff, b["bg"], seps, cons,
+                N=N_local, has_cc=has_cc, host_is_bg=False,
+                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+            lnZ[10], lnZ[11] = eb_pair(d, u1a, u2a, d["lnprior"])
+        if not set((12,)) <= set(drop_idx):
+            # BTP (:1242)
+            d = eng.sample_background_planet(
+                jax.random.fold_in(ks[6], 1), P_orb, P_orb, M_s, R_s, b["bg"],
+                seps, cons, N=N_local, flatpriors=flatpriors, has_cc=has_cc,
+                host_is_bg=True, n_comp=b["n_comp"])
+            lnZ[12] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
+        if not set((13, 14)) <= set(drop_idx):
+            # BEB, BEBx2P (:1291)
+            d = eng.sample_background_eb(
+                jax.random.fold_in(ks[7], 1), P_orb, P_orb, M_s, R_s, Teff,
+                b["bg"], seps, cons, N=N_local, has_cc=has_cc, host_is_bg=True,
+                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+            lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
 
         # nearby-star rows: NTP/NEB/NEBx2P per slot on the flux
         # renormalized for that star's aperture contribution
@@ -401,6 +420,9 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
                 lnZ.append(jnp.where(valid, z1, neg))
                 lnZ.append(jnp.where(valid, z2, neg))
 
+        neg_inf = jnp.float32(-jnp.inf)
+        lnZ = [neg_inf if z is None or i in drop_idx else z
+               for i, z in enumerate(lnZ)]
         lnZv = jnp.stack(lnZ)
         probs = jnp.exp(lnZv - logsumexp_jax(lnZv))
         fpp = 1.0 - (probs[0] + probs[3] + probs[9])
