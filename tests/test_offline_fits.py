@@ -185,3 +185,18 @@ class TestKeplerTpfPadding:
         assert "Sector 9 raised exception" in out
         assert len(t.TESS_images) == 1
         assert len(t.pix_coords) == 1
+
+
+class TestK2TpfPadding:
+    def test_k2_uses_campaign_and_epic_prefix(self, fake_stack):
+        """K2 searches 'EPIC <ID>' with campaign= (not quarter=)
+        (reference triceratops.py:174-194)."""
+        t = target_mod.from_stars(_stars(), sectors=[7], mission="K2")
+        t.ID = 201367065
+        t._fetch_cutouts(t.stars, None)
+        assert fake_stack["name"] == "EPIC 201367065"
+        assert fake_stack["mission"] == "K2"
+        assert fake_stack["campaign"] == 7
+        assert "quarter" not in fake_stack
+        assert len(t.TESS_images) == 1
+        assert t.TESS_images[0].shape == (22, 22)
