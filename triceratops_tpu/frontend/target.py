@@ -591,7 +591,10 @@ class target:
         self.u2 = cols["u2"]
         self.fluxratio_EB = cols["fluxratio_EB"]
         self.fluxratio_comp = cols["fluxratio_comp"]
-        self.FPP = 1 - (prob_df.prob[0] + prob_df.prob[3] + prob_df.prob[9])
+        # clip the f32 rounding residue when the planet scenarios carry
+        # ~all probability (1 - sum can land at -1e-15)
+        self.FPP = max(
+            1 - (prob_df.prob[0] + prob_df.prob[3] + prob_df.prob[9]), 0.0)
         if len(prob_df.prob) > 15:
             self.NFPP = np.sum(prob_df.prob[15:])
         else:

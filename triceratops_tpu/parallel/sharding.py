@@ -425,7 +425,7 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
                for i, z in enumerate(lnZ)]
         lnZv = jnp.stack(lnZ)
         probs = jnp.exp(lnZv - logsumexp_jax(lnZv))
-        fpp = 1.0 - (probs[0] + probs[3] + probs[9])
+        fpp = jnp.maximum(1.0 - (probs[0] + probs[3] + probs[9]), 0.0)
         nfpp = jnp.sum(probs[15:]) if len(lnZ) > 15 else jnp.float32(0.0)
         return fpp, nfpp, lnZv
 
