@@ -173,17 +173,28 @@ def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
         wgts=tuple(float(x) for x in wgt), interpret=interpret)
 
 
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> the fused Pallas path on TPU-class backends, XLA on CPU
+    (measured on the v5e: pallas v2 is ~20% faster per 1e6-draw core via
+    out-of-transit tile skipping; off-accelerator it needs the slow
+    interpreter, so CPU keeps XLA)."""
+    if backend != "auto":
+        return backend
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 @partial(jax.jit,
          static_argnames=("exptime", "n_t", "ns", "chunk", "exact",
                           "backend", "interpret"))
 def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
                *, exptime: float, n_t: int, ns: int, chunk: int = 4096,
-               exact: bool = False, backend: str = "xla",
+               exact: bool = False, backend: str = "auto",
                interpret: bool = False):
     """Transiting-planet family log-likelihoods for N draws.
 
     Returns lnL (N,) = -0.5 ln 2pi - ln sigma - 0.5 chi^2 for masked-in
     draws, -inf otherwise (reference marginal_likelihoods.py:117-137)."""
+    backend = _resolve_backend(backend)
     N = k.shape[0]
     inv_sig2 = 1.0 / (sigma * sigma)
     ln_sigma = jnp.log(sigma)
@@ -216,7 +227,7 @@ def lnL_planet(time, obs_dev, sigma, k, P, a_R, inc, e, w, u1, u2, g, mask,
 def lnL_eb(time, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
            g_pri, g_sec, mask, *, exptime: float, n_t: int, ns: int,
            chunk: int = 4096, apply_veto: bool = True, exact: bool = False,
-           backend: str = "xla", interpret: bool = False):
+           backend: str = "auto", interpret: bool = False):
     """Eclipsing-binary family log-likelihoods for N draws.
 
     k is the (already quirk-adjusted) primary radius ratio, ksec the
@@ -225,6 +236,7 @@ def lnL_eb(time, obs_dev, sigma, k, ksec, P, a_R, inc, e, w, u1, u2,
     branch passes apply_veto=False (ref likelihoods.py:542-587). The
     25-point secondary scan always uses the exact kernel (it is a
     negligible fraction of the work)."""
+    backend = _resolve_backend(backend)
     N = k.shape[0]
     inv_sig2 = 1.0 / (sigma * sigma)
     ln_sigma = jnp.log(sigma)

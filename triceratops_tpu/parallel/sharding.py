@@ -177,6 +177,8 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
     bg = {k: np.stack([np.concatenate(
             [b[k], np.repeat(b[k][-1:], n_bg - len(b[k]), axis=0)])
           for b in bg_list]) for k in _BG_FIELDS}
+    # packed (B, n_bg, F) table: one row gather per draw in the samplers
+    bg["pack"] = np.stack([bg[f] for f in eng.BG_PACK_FIELDS], axis=-1)
 
     u1 = np.zeros(B, f32)
     u2 = np.zeros(B, f32)

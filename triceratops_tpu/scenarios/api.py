@@ -164,6 +164,8 @@ def _prep_background_cached(file_sig, Tmag, Jmag, Hmag, Kmag, mission, filt,
         bg["fluxratios_cc"] = fr_band.astype(F32)
     else:
         bg["fluxratios_cc"] = bg["fluxratios"]
+    from ..scenarios.engine import BG_PACK_FIELDS
+    bg["pack"] = np.stack([bg[f] for f in BG_PACK_FIELDS], axis=1)
     return {k: jnp.asarray(v) for k, v in bg.items()}, len(Tmags)
 
 
@@ -190,6 +192,8 @@ def _prep_lookalikes_cached(file_sig, Tmag, mission):
         "u1s": u1s.astype(F32),
         "u2s": u2s.astype(F32),
     }
+    from ..scenarios.engine import POP_PACK_FIELDS
+    pop["pack"] = np.stack([pop[f] for f in POP_PACK_FIELDS], axis=1)
     return {k: jnp.asarray(v) for k, v in pop.items()}, int(m.sum())
 
 

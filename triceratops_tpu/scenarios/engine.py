@@ -159,6 +159,24 @@ def _background_prior(has_cc, N_comp, fluxratios_draw, delta_band_draw,
     return clamp_companion_prior(lnp, delta_mags)
 
 
+# field order of the packed background/lookalike tables (one (N_rows, F)
+# f32 matrix, gathered once per draw batch: a single packed row gather
+# costs ~2 ms per 1e6 draws on a v5e vs ~59 ms for the 9 per-field
+# gathers it replaces)
+BG_PACK_FIELDS = ("fluxratios", "delta_band", "masses", "radii", "loggs",
+                  "teffs", "u1s", "u2s", "fluxratios_cc")
+POP_PACK_FIELDS = ("masses", "radii", "loggs", "teffs", "u1s", "u2s")
+
+
+def _drawn_rows(tab, idxs, fields):
+    """Per-draw star properties: one packed gather when 'pack' is
+    present (built by the host preps), per-field gathers otherwise."""
+    if "pack" in tab:
+        rows = tab["pack"][idxs]
+        return {f: rows[:, i] for i, f in enumerate(fields)}
+    return {f: tab[f][idxs] for f in fields if f in tab}
+
+
 # ---------------------------------------------------------------------------
 # Finalize: evidence + top-k best fits
 # ---------------------------------------------------------------------------
@@ -312,16 +330,17 @@ def sample_background_planet(key, P_lo, P_hi, M_s, R_s, bg, seps, cons,
     N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
     hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
     idxs = jax.random.randint(key_idx, (N,), 0, hi)
-    fluxratios_draw = bg["fluxratios"][idxs]
-    delta_band_draw = bg["delta_band"][idxs]
+    row = _drawn_rows(bg, idxs, BG_PACK_FIELDS)
+    fluxratios_draw = row["fluxratios"]
+    delta_band_draw = row["delta_band"]
     lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
                                 delta_band_draw, seps, cons)
     P = _draw_P(u[0], P_lo, P_hi)
     if host_is_bg:
-        host_mass = bg["masses"][idxs]
-        host_rad = bg["radii"][idxs]
-        u1s, u2s = bg["u1s"][idxs], bg["u2s"][idxs]
-        pop_ok = (bg["loggs"][idxs] >= 3.5) & (bg["teffs"][idxs] <= 10000.0)
+        host_mass = row["masses"]
+        host_rad = row["radii"]
+        u1s, u2s = row["u1s"], row["u2s"]
+        pop_ok = (row["loggs"] >= 3.5) & (row["teffs"] <= 10000.0)
         g = tp_dilution(fluxratios_draw / (1.0 - fluxratios_draw), True)
     else:
         host_mass = jnp.full((N,), M_s, F32)
@@ -359,10 +378,11 @@ def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors,
     key_idx = jax.random.fold_in(key, 777)
     N_pos = pop["masses"].shape[0]
     idxs = jax.random.randint(key_idx, (N,), 0, N_pos)
-    host_mass = pop["masses"][idxs]
-    host_rad = pop["radii"][idxs]
-    u1s, u2s = pop["u1s"][idxs], pop["u2s"][idxs]
-    pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
+    row = _drawn_rows(pop, idxs, POP_PACK_FIELDS)
+    host_mass = row["masses"]
+    host_rad = row["radii"]
+    u1s, u2s = row["u1s"], row["u2s"]
+    pop_ok = (row["loggs"] >= 3.5) & (row["teffs"] <= 10000.0)
     P = _draw_P(u[0], P_lo, P_hi)
     rps = sample_rp(u[1], host_mass, flatpriors)
     eccs = sample_ecc(u[3], True, jnp.mean(P))
@@ -554,18 +574,19 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
     N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
     hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
     idxs = jax.random.randint(key_idx, (N,), 0, hi)
-    fluxratios_draw = bg["fluxratios"][idxs]
+    row = _drawn_rows(bg, idxs, BG_PACK_FIELDS)
+    fluxratios_draw = row["fluxratios"]
     P = _draw_P(u[0], P_lo, P_hi)
     qs = sample_q(u[2], M_s)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     if host_is_bg:
-        host_mass = bg["masses"][idxs]
-        host_rad = bg["radii"][idxs]
-        u1s, u2s = bg["u1s"][idxs], bg["u2s"][idxs]
-        pop_ok = (bg["loggs"][idxs] >= 3.5) & (bg["teffs"][idxs] <= 10000.0)
+        host_mass = row["masses"]
+        host_rad = row["radii"]
+        u1s, u2s = row["u1s"], row["u2s"]
+        pop_ok = (row["loggs"] >= 3.5) & (row["teffs"] <= 10000.0)
         masses = qs * host_mass
-        radii, _ = stellar_relations(masses, host_rad, bg["teffs"][idxs], xp=jnp)
+        radii, _ = stellar_relations(masses, host_rad, row["teffs"], xp=jnp)
         fr_bound = _fluxratio_vs_target(host_mass, M_s)
         dist_corr = fluxratios_draw / fr_bound
         fluxratios = _fluxratio_vs_target(masses, M_s) * dist_corr
@@ -588,7 +609,7 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
     # (ml.py:1674-1701).
     if host_is_bg:
         if has_cc:
-            fr_c_cc = bg["fluxratios_cc"][idxs]
+            fr_c_cc = row["fluxratios_cc"]
             fr_bound_cc = _fluxratio_vs_target(host_mass, M_s, cc_filt)
             fr_eb_cc = (_fluxratio_vs_target(masses, M_s, cc_filt)
                         * (fr_c_cc / fr_bound_cc))
@@ -604,7 +625,7 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
         lnprior = clamp_companion_prior(lnp, delta_mags)
     else:
         lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
-                                    bg["delta_band"][idxs], seps, cons)
+                                    row["delta_band"], seps, cons)
     nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
                           argps, u[1], 2.0 * host_rad * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, host_rad)
@@ -676,16 +697,17 @@ def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True):
     key_idx = jax.random.fold_in(key, 777)
     N_pos = pop["masses"].shape[0]
     idxs = jax.random.randint(key_idx, (N,), 0, N_pos)
-    host_mass = pop["masses"][idxs]
-    host_rad = pop["radii"][idxs]
-    u1s, u2s = pop["u1s"][idxs], pop["u2s"][idxs]
-    pop_ok = (pop["loggs"][idxs] >= 3.5) & (pop["teffs"][idxs] <= 10000.0)
+    row = _drawn_rows(pop, idxs, POP_PACK_FIELDS)
+    host_mass = row["masses"]
+    host_rad = row["radii"]
+    u1s, u2s = row["u1s"], row["u2s"]
+    pop_ok = (row["loggs"] >= 3.5) & (row["teffs"] <= 10000.0)
     P = _draw_P(u[0], P_lo, P_hi)
     qs = sample_q(u[2], 1.0)
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     masses = qs * host_mass
-    radii, _ = stellar_relations(masses, host_rad, pop["teffs"][idxs], xp=jnp)
+    radii, _ = stellar_relations(masses, host_rad, row["teffs"], xp=jnp)
     f_eb = flux_relation(masses, "TESS", xp=jnp)
     f_host = flux_relation(host_mass, "TESS", xp=jnp)
     fluxratios = f_eb / (f_eb + f_host)
