@@ -10,14 +10,20 @@ comparison (populations/catalogs.py).
 
 Two execution modes:
 
-* ``--serial`` — the frontend path: one ``target.calc_probs`` per TOI on
-  one chip (includes nearby-star scenarios and NFPP).
-* sharded (default) — the multi-chip path: targets are batched through
-  ``parallel.sharding.batch_fpp_full`` on a ('targets', 'draws')
-  ``jax.sharding.Mesh`` over all available devices, covering the full
-  15-scenario target-star taxonomy; per-target reductions are chip-local
-  and the only collective is the per-scenario evidence logsumexp
-  (SURVEY.md section 2.4 per-target axis, VERDICT round-1 item 2).
+* serial (``--serial``; the default on a single device) — the frontend
+  path: one ``target.calc_probs`` per TOI. Measured steady state on one
+  v5e: 2.4 s/target at 1e6 draws x 15 scenarios (385-TOI catalog
+  ~ 16 min/chip vs the reference's ~6.5 h CPU).
+* sharded (``--sharded``; the default with >1 device) — targets stream
+  in fixed-size batches through ``parallel.sharding.batch_fpp_full`` on
+  a ('targets', 'draws') ``jax.sharding.Mesh``, covering the full
+  15-scenario taxonomy; per-target reductions are chip-local and the
+  only collective is the per-scenario evidence logsumexp (SURVEY.md
+  section 2.4 per-target axis, VERDICT round-1 item 2). On ONE chip the
+  fused megaprogram runs at 4.4 s/target (the serial path's
+  async-overlapped per-scenario dispatches beat one big serialized
+  program), so the mesh path pays off only when the targets axis
+  actually spans chips.
 
 With only synthetic data available offline, the sweep runs on
 synthesized light curves drawn from the catalog's (Rp, Porb) rows; swap
@@ -25,7 +31,7 @@ synthesized light curves drawn from the catalog's (Rp, Porb) rows; swap
 reproduce the paper tables.
 
 Usage:
-    python tools/catalog_replay.py [n_targets] [N_draws] [--serial]
+    python tools/catalog_replay.py [n_targets] [N_draws] [--serial|--sharded]
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/catalog_replay.py 16 65536   # 8-way CPU mesh demo
 """
@@ -90,8 +96,10 @@ def _synth_lc(row, n_t=100, sigma=4e-4):
 
 
 def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
-                 n_t=100, ns=20):
-    """Mesh-sharded replay: all TOIs batched through batch_fpp_full."""
+                 n_t=100, ns=20, batch_B=8):
+    """Mesh-sharded replay: TOIs stream through batch_fpp_full in
+    fixed-size batches (shapes repeat, so the traced/compiled step is
+    reused — only the first batch pays trace+compile)."""
     import jax
     from triceratops_tpu.parallel.sharding import (
         make_mesh, batch_fpp_full, prepare_target_batch)
@@ -102,39 +110,56 @@ def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
     trilegal = make_synthetic_trilegal("/tmp/replay_trilegal.csv",
                                        Tmag_target=10.0, seed=1)
     n_dev = len(jax.devices())
-    # favor the targets axis (per-target work is independent); draws axis
-    # picks up the remainder so every device is used
+    batch_B = min(batch_B, n_targets)
     nts = 1
-    for cand in range(min(n_dev, n_targets), 0, -1):
-        if n_dev % cand == 0 and n_targets % cand == 0:
+    for cand in range(min(n_dev, batch_B), 0, -1):
+        if n_dev % cand == 0 and batch_B % cand == 0:
             nts = cand
             break
     mesh = make_mesh(n_dev, n_target_shards=nts)
     N = -(-N // mesh.shape["draws"]) * mesh.shape["draws"]
-    print(f"mesh {dict(mesh.shape)}; {n_targets} targets x {N} draws")
+    print(f"mesh {dict(mesh.shape)}; {n_targets} targets x {N} draws, "
+          f"batches of {batch_B}")
 
-    targets = []
-    for i, (_, row) in enumerate(cat.iterrows()):
+    all_targets = []
+    cat_rows = list(cat.iterrows())
+    for i, (_, row) in enumerate(cat_rows):
         time, flux, sigma, P = _synth_lc(row, n_t=n_t)
-        targets.append(dict(time=time, flux=flux, sigma=sigma, P_orb=P,
-                            M_s=1.0, R_s=1.0, Teff=5800.0, Z=0.0, plx=10.0,
-                            Tmag=10.0, Jmag=9.3, Hmag=9.1, Kmag=9.0,
-                            trilegal_fname=trilegal, key=jax.random.key(i)))
-    batch, _, has_cc = prepare_target_batch(targets)
-    t0 = _time.time()
-    fpp, nfpp, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
-                                    chunk=4096, has_cc=has_cc)
-    fpp = np.asarray(fpp)
-    nfpp = np.asarray(nfpp)
-    wall = _time.time() - t0
-    rows = [dict(TOI=row["TOI"], TICID=row["TICID"], Rp=row["Rp"],
-                 Porb=row["Porb"], FPP=float(fpp[i]), NFPP=float(nfpp[i]),
-                 FPP_paper=row["FPP"], NFPP_paper=row["NFPP"],
-                 Classification=row["Classification"])
-            for i, (_, row) in enumerate(cat.iterrows())]
+        all_targets.append(dict(
+            time=time, flux=flux, sigma=sigma, P_orb=P, M_s=1.0, R_s=1.0,
+            Teff=5800.0, Z=0.0, plx=10.0, Tmag=10.0, Jmag=9.3, Hmag=9.1,
+            Kmag=9.0, trilegal_fname=trilegal, key=jax.random.key(i)))
+
+    rows = []
+    t_start = _time.time()
+    batch_walls = []
+    for start in range(0, n_targets, batch_B):
+        group = all_targets[start:start + batch_B]
+        pad = batch_B - len(group)
+        group = group + [dict(group[-1]) for _ in range(pad)]
+        batch, _, has_cc = prepare_target_batch(group)
+        t0 = _time.time()
+        fpp, nfpp, _lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
+                                         chunk=16384, has_cc=has_cc)
+        fpp = np.asarray(fpp)
+        nfpp = np.asarray(nfpp)
+        wall = _time.time() - t0
+        batch_walls.append(wall)
+        for j in range(batch_B - pad):
+            _, row = cat_rows[start + j]
+            rows.append(dict(TOI=row["TOI"], TICID=row["TICID"],
+                             Rp=row["Rp"], Porb=row["Porb"],
+                             FPP=float(fpp[j]), NFPP=float(nfpp[j]),
+                             FPP_paper=row["FPP"], NFPP_paper=row["NFPP"],
+                             Classification=row["Classification"]))
+        print(f"  batch {start // batch_B}: {wall:.1f}s "
+              f"({wall / batch_B:.2f}s/target)")
+    total = _time.time() - t_start
     pd.DataFrame(rows).to_csv(out_csv, index=False)
-    print(f"wrote {out_csv}; {n_targets} targets in {wall:.1f}s "
-          f"({wall/n_targets:.2f}s/target incl. compile)")
+    steady = (np.mean(batch_walls[1:]) / batch_B
+              if len(batch_walls) > 1 else batch_walls[0] / batch_B)
+    print(f"wrote {out_csv}; {n_targets} targets in {total:.1f}s "
+          f"(steady-state {steady:.2f}s/target)")
 
 
 def main(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv"):
@@ -180,5 +205,11 @@ if __name__ == "__main__":
     N = int(args[1]) if len(args) > 1 else 1000000
     if "--serial" in sys.argv:
         main(n, N)
-    else:
+    elif "--sharded" in sys.argv:
         main_sharded(n, N)
+    else:
+        import jax
+        if len(jax.devices()) > 1:
+            main_sharded(n, N)
+        else:
+            main(n, N)

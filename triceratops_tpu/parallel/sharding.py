@@ -25,7 +25,7 @@ replicated across the draws axis), and optional contrast curves.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -281,13 +281,25 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
     n_d = mesh.shape["draws"]
     if N % n_d:
         raise ValueError(f"N={N} must divide the draws axis ({n_d})")
-    N_local = N // n_d
     eff_cc_filt = cc_filt if has_cc else None
     unknown = set(drop_scenario) - set(FULL_SCENARIOS)
     if unknown - {"NTP", "NEB", "NEBx2P"}:
         raise ValueError(f"unknown drop_scenario entries: {sorted(unknown)}")
     drop_idx = tuple(i for i, s in enumerate(FULL_SCENARIOS)
                      if s in drop_scenario)
+    step = _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
+                            has_cc, eff_cc_filt, drop_idx)
+    return step(batch)
+
+
+@lru_cache(maxsize=16)
+def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
+                     has_cc, eff_cc_filt, drop_idx):
+    """Build + cache the jitted sharded step: re-invoking batch_fpp_full
+    with the same (mesh, config) must not re-trace the 15-scenario
+    megaprogram (~40 s of host tracing per call otherwise — the
+    catalog-replay steady state depends on this reuse)."""
+    N_local = N // mesh.shape["draws"]
 
     def per_target(b):
         d_idx = jax.lax.axis_index("draws")
@@ -437,4 +449,4 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
     def step(batch_shard):
         return jax.vmap(per_target)(batch_shard)
 
-    return jax.jit(step)(batch)
+    return jax.jit(step)
