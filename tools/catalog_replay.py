@@ -46,53 +46,57 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_target(row, trilegal, n_t=100, sigma=4e-4):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _lc_builder(n_t):
+    """Jitted synthetic-transit deficit builder (eager jnp ops dispatch
+    to the remote TPU one blocking round trip at a time — at 385
+    targets that dominated the replay loop)."""
+    import jax
     import jax.numpy as jnp
-    from triceratops_tpu import target
-    from triceratops_tpu.constants import G, MSUN, RSUN, REARTH
     from triceratops_tpu.core.kepler import projected_z
     from triceratops_tpu.ops.occult import occult_quad_deficit
 
-    P = float(np.clip(row["Porb"], 0.8, 20.0))
-    rp = float(np.clip(row["Rp"], 1.0, 16.0))
-    M_s = R_s = 1.0
-    time = np.linspace(-0.15, 0.15, n_t)
-    a = ((G * M_s * MSUN) / (4 * np.pi**2) * (P * 86400) ** 2) ** (1 / 3)
-    z, front = projected_z(jnp.asarray(time), 0.0, P, a / (R_s * RSUN),
-                           np.deg2rad(89.3), 0.0, 0.0)
-    D = np.asarray(occult_quad_deficit(
-        jnp.asarray(rp * REARTH / (R_s * RSUN)), z,
-        jnp.asarray(0.35), jnp.asarray(0.25))) * np.asarray(front)
-    rng = np.random.default_rng(int(row["TOI"] * 100) % 2**31)
-    flux = 1.0 - D + rng.normal(0, sigma, n_t)
-    stars = pd.DataFrame([dict(
-        ID=str(int(row["TICID"])), Tmag=10.0, Jmag=9.3, Hmag=9.1,
-        Kmag=9.0, ra=90.0, dec=-60.0, mass=M_s, rad=R_s, Teff=5800.0,
-        plx=10.0, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0})])
-    t = target.from_stars(stars, ID=int(row["TICID"]), sectors=[1],
-                          trilegal_fname=trilegal)
-    t.calc_depths(tdepth=float(D.max()))
-    return t, time, flux, sigma, P
+    @jax.jit
+    def build(time, P, a_R, k):
+        z, front = projected_z(time, 0.0, P, a_R,
+                               jnp.deg2rad(89.3), 0.0, 0.0)
+        D = occult_quad_deficit(k, z, jnp.float32(0.35), jnp.float32(0.25))
+        return D * front
+
+    return build
 
 
 def _synth_lc(row, n_t=100, sigma=4e-4):
     """Synthetic folded light curve from a catalog (Rp, Porb) row."""
     import jax.numpy as jnp
     from triceratops_tpu.constants import G, MSUN, RSUN, REARTH
-    from triceratops_tpu.core.kepler import projected_z
-    from triceratops_tpu.ops.occult import occult_quad_deficit
 
     P = float(np.clip(row["Porb"], 0.8, 20.0))
     rp = float(np.clip(row["Rp"], 1.0, 16.0))
     time = np.linspace(-0.15, 0.15, n_t)
     a = ((G * MSUN) / (4 * np.pi**2) * (P * 86400) ** 2) ** (1 / 3)
-    z, front = projected_z(jnp.asarray(time), 0.0, P, a / RSUN,
-                           np.deg2rad(89.3), 0.0, 0.0)
-    D = np.asarray(occult_quad_deficit(
-        jnp.asarray(rp * REARTH / RSUN), z,
-        jnp.asarray(0.35), jnp.asarray(0.25))) * np.asarray(front)
+    D = np.asarray(_lc_builder(n_t)(
+        jnp.asarray(time, jnp.float32), jnp.float32(P),
+        jnp.float32(a / RSUN), jnp.float32(rp * REARTH / RSUN)))
     rng = np.random.default_rng(int(row["TOI"] * 100) % 2**31)
-    return time, 1.0 - D + rng.normal(0, sigma, n_t), sigma, P
+    return time, 1.0 - D + rng.normal(0, sigma, n_t), sigma, P, float(D.max())
+
+
+def build_target(row, trilegal, n_t=100, sigma=4e-4):
+    from triceratops_tpu import target
+
+    time, flux, sigma, P, depth = _synth_lc(row, n_t=n_t, sigma=sigma)
+    stars = pd.DataFrame([dict(
+        ID=str(int(row["TICID"])), Tmag=10.0, Jmag=9.3, Hmag=9.1,
+        Kmag=9.0, ra=90.0, dec=-60.0, mass=1.0, rad=1.0, Teff=5800.0,
+        plx=10.0, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0})])
+    t = target.from_stars(stars, ID=int(row["TICID"]), sectors=[1],
+                          trilegal_fname=trilegal)
+    t.calc_depths(tdepth=depth)
+    return t, time, flux, sigma, P
 
 
 def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
@@ -124,7 +128,7 @@ def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
     all_targets = []
     cat_rows = list(cat.iterrows())
     for i, (_, row) in enumerate(cat_rows):
-        time, flux, sigma, P = _synth_lc(row, n_t=n_t)
+        time, flux, sigma, P, _depth = _synth_lc(row, n_t=n_t)
         all_targets.append(dict(
             time=time, flux=flux, sigma=sigma, P_orb=P, M_s=1.0, R_s=1.0,
             Teff=5800.0, Z=0.0, plx=10.0, Tmag=10.0, Jmag=9.3, Hmag=9.1,
