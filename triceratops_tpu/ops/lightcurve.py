@@ -150,8 +150,16 @@ def _mean_deficit(time, exptime, k, P, a_R, inc, e, w, u1, u2, n_t, ns,
 def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
                  n_t, ns, interpret):
     """Fused Pallas path: chi^2 directly from per-draw params
-    (ops/pallas_core.py); equivalent to the fast XLA path."""
-    from .pallas_core import chi2_supersampled
+    (ops/pallas_core.py); equivalent to the fast XLA path. v2 (draw-major
+    (256, 128) tiles) is the measured winner — 171 ms/1e6-draw core vs
+    XLA 206 ms; the v3 time-sublane skip schedule measured 188-271 ms
+    (grid-step overhead + mixed-tile lanes eat the skip win) and is kept
+    selectable for experiments via TRICERATOPS_PALLAS_V=3."""
+    import os
+    if os.environ.get("TRICERATOPS_PALLAS_V", "2") == "3":
+        from .pallas_core import chi2_supersampled_v3 as chi2_supersampled
+    else:
+        from .pallas_core import chi2_supersampled
 
     coeffs = cheb_deficit_coeffs(k, u1, u2)
     cA, cB1, cB2, zsplit, zmid, invA, invB1, invB2 = coeffs
