@@ -1,7 +1,9 @@
+"""Micro-benchmark: batched full-FPP megaprogram compile/warm timing (TPU)."""
 import time as T
 import numpy as np, jax
 import sys
 sys.argv = ['x']
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.catalog_replay import _synth_lc
 from triceratops_tpu.parallel.sharding import make_mesh, batch_fpp_full, prepare_target_batch
 from triceratops_tpu.populations.catalogs import vetting_catalog
@@ -11,7 +13,7 @@ cat = vetting_catalog().sample(8, random_state=0)
 trilegal = make_synthetic_trilegal("/tmp/replay_trilegal.csv", Tmag_target=10.0, seed=1)
 targets = []
 for i, (_, row) in enumerate(cat.iterrows()):
-    time, flux, sigma, P = _synth_lc(row, n_t=100)
+    time, flux, sigma, P, _depth = _synth_lc(row, n_t=100)
     targets.append(dict(time=time, flux=flux, sigma=sigma, P_orb=P,
                         M_s=1.0, R_s=1.0, Teff=5800.0, Z=0.0, plx=10.0,
                         Tmag=10.0, Jmag=9.3, Hmag=9.1, Kmag=9.0,

@@ -1,3 +1,4 @@
+"""Micro-benchmark: packed vs per-field background-table gathers (TPU)."""
 import time as T
 import numpy as np, jax, jax.numpy as jnp
 

@@ -1,3 +1,4 @@
+"""Micro-benchmark: pallas-vs-XLA planet core + parity (TPU)."""
 import time as T
 import numpy as np, jax, jax.numpy as jnp
 from triceratops_tpu.ops.lightcurve import lnL_planet

@@ -1,3 +1,4 @@
+"""Micro-benchmark: per-sampler building blocks (TPU)."""
 import time as T
 import numpy as np, jax, jax.numpy as jnp
 from triceratops_tpu.priors.samplers import sample_rp, sample_ecc, sample_w, sample_q, sample_q_companion, sample_inc
