@@ -224,3 +224,16 @@ def test_drop_scenario_sharded(full_batch_inputs):
     assert np.all(np.isneginf(lnZ[:, dropped]))
     assert np.all(np.isfinite(lnZ[:, kept]))
     assert np.all((np.asarray(fpp) >= 0) & (np.asarray(fpp) <= 1))
+
+
+def test_drop_scenario_rejects_nearby_rows(full_batch_inputs):
+    """Nearby-star rows cannot be dropped; asking must fail loudly, not
+    silently no-op (ADVICE round-2 item 3)."""
+    _, batch, n_t, has_cc, _ = full_batch_inputs
+    mesh = make_mesh(8, n_target_shards=1)
+    with pytest.raises(ValueError, match="nearby-star"):
+        batch_fpp_full(mesh, batch, N=8 * 2048, n_t=n_t, ns=2, chunk=1024,
+                       has_cc=has_cc, drop_scenario=("NEB",))
+    with pytest.raises(ValueError, match="unknown"):
+        batch_fpp_full(mesh, batch, N=8 * 2048, n_t=n_t, ns=2, chunk=1024,
+                       has_cc=has_cc, drop_scenario=("NOPE",))

@@ -143,8 +143,10 @@ def main_sharded(n_targets=8, N=1000000, out_csv="/tmp/catalog_replay.csv",
         group = group + [dict(group[-1]) for _ in range(pad)]
         batch, _, has_cc = prepare_target_batch(group)
         t0 = _time.time()
+        from triceratops_tpu.ops.lightcurve import draw_chunk
         fpp, nfpp, _lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=ns,
-                                         chunk=16384, has_cc=has_cc)
+                                         chunk=draw_chunk(n_t, ns),
+                                         has_cc=has_cc)
         fpp = np.asarray(fpp)
         nfpp = np.asarray(nfpp)
         wall = _time.time() - t0

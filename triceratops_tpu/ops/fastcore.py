@@ -83,8 +83,11 @@ def cheb_deficit_coeffs(k, u1, u2):
     c = jnp.clip(_BREAK_SLOPE * zsplit, _BREAK_FLOOR, (zmax - zsplit) / 2.0)
     zmid = zsplit + c
     wA = jnp.maximum(zsplit, 1e-6)
-    wB1 = c
-    wB2 = zmax - zmid
+    # width floors: at k == 0, c collapses to 0 and invB1/invB2 would be
+    # inf -> NaN deficits for z >= zsplit. Degenerate draws are normally
+    # masked upstream, but an unmasked k = 0 lane must stay finite.
+    wB1 = jnp.maximum(c, 1e-6)
+    wB2 = jnp.maximum(zmax - zmid, 1e-6)
     dtype = jnp.result_type(k.dtype, jnp.float32)
     s = jnp.asarray(_S_NODES, dtype)[None, :]
     zA = wA * s

@@ -283,7 +283,13 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
         raise ValueError(f"N={N} must divide the draws axis ({n_d})")
     eff_cc_filt = cc_filt if has_cc else None
     unknown = set(drop_scenario) - set(FULL_SCENARIOS)
-    if unknown - {"NTP", "NEB", "NEBx2P"}:
+    nearby_rows = unknown & {"NTP", "NEB", "NEBx2P"}
+    if nearby_rows:
+        raise ValueError(
+            f"drop_scenario cannot drop nearby-star rows {sorted(nearby_rows)}: "
+            "like the frontend, batch_fpp_full only drops target-star "
+            "scenarios (docs/parity.md item 9)")
+    if unknown:
         raise ValueError(f"unknown drop_scenario entries: {sorted(unknown)}")
     drop_idx = tuple(i for i, s in enumerate(FULL_SCENARIOS)
                      if s in drop_scenario)
