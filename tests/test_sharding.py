@@ -113,8 +113,11 @@ class TestFullFPPSharded:
         twin = np.array([s.endswith("x2P") for s in FULL_SCENARIOS])
         d = np.abs(out[1][1] - out[4][1])
         assert np.all(d[:, ~twin] < 1.5), d
-        # twin branches are max-dominated (q >= 0.95 is 5% of draws)
-        assert np.all(d[:, twin] < 8.0), d
+        # twin branches are max-dominated needles even with the
+        # conditioned + lattice-stratified twin draw sets (engine module
+        # notes); measured mesh-to-mesh spreads <= 3.5 at 8k twin draws
+        # (was <= 8 with shared draws, docs/parity.md)
+        assert np.all(d[:, twin] < 4.0), d
         assert np.all(np.abs(out[1][0] - out[4][0]) < 0.08)
 
     def test_matches_single_device_api(self, full_batch_inputs):
@@ -164,7 +167,9 @@ class TestFullFPPSharded:
         twin = np.array([s.endswith("x2P") for s in FULL_SCENARIOS])
         assert np.all(d[~twin] < 1.2), \
             dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
-        assert np.all(d[twin] < 8.0), \
+        # twin gates tightened 8 -> 4 nats by the conditioned +
+        # lattice-stratified twin draw sets (docs/parity.md)
+        assert np.all(d[twin] < 4.0), \
             dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
         assert abs(fpp - fpp_api) < 0.05, (fpp, fpp_api)
 

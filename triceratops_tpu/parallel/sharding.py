@@ -94,23 +94,28 @@ def batch_fpp_tp_eb(mesh: Mesh, keys, times, obs_dev, sigmas, P_orbs,
                             d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                             jnp.ones((N_local,), jnp.float32), d["mask"],
                             exptime=exptime, n_t=n_t, ns=ns, chunk=chunk)
-        e = eng.sample_teb(k_eb, P_orb, P_orb, M_s, R_s, Teff, N=N_local)
+        twin_local = max(N_local // eng.TWIN_DIV, 1)
+        e = eng.sample_teb(k_eb, P_orb, P_orb, M_s, R_s, Teff, N=N_local,
+                           twin_n=twin_local)
+        t = e["twin"]
+        nt = t["P"].shape[0]
         lnL_eb_ = lnL_eb(time_i, obs_i, sigma, e["k"], e["ksec"], e["P"],
                          e["a_R"], e["inc_rad"], e["eccs"], e["w_rad"],
                          u1a, u2a, e["g_pri"], e["g_sec"], e["mask"],
                          exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
                          apply_veto=True)
-        lnL_twin = lnL_eb(time_i, obs_i, sigma, e["k"], e["ksec"],
-                          2.0 * e["P"], e["a_R_twin"], e["inc_rad_twin"],
-                          e["eccs"], e["w_rad"], u1a, u2a, e["g_pri"],
-                          e["g_sec"], e["mask_twin"],
+        lnL_twin = lnL_eb(time_i, obs_i, sigma, t["k"], t["ksec"],
+                          2.0 * t["P"], t["a_R"], t["inc_rad"],
+                          t["eccs"], t["w_rad"], u1a[:nt], u2a[:nt],
+                          t["g_pri"], t["g_sec"], t["mask"],
                           exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
                           apply_veto=False)
         lnZs = []
-        for lnL, lnw in ((lnL_tp, d["lnw"]), (lnL_eb_, e["lnw"]),
-                         (lnL_twin, e["lnw_twin"])):
+        for lnL, lnw, n_tot in ((lnL_tp, d["lnw"], N),
+                                (lnL_eb_, e["lnw"], N),
+                                (lnL_twin, t["lnw"], nt * n_d)):
             m, s = _local_lnZ_parts(lnL + lnw)
-            lnZs.append(_combine_lnZ(m, s, N, "draws"))
+            lnZs.append(_combine_lnZ(m, s, n_tot, "draws"))
         lnZ = jnp.stack(lnZs)
         probs = jnp.exp(lnZ - logsumexp_jax(lnZ))
         fpp = 1.0 - probs[0]
@@ -306,6 +311,7 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
     megaprogram (~40 s of host tracing per call otherwise — the
     catalog-replay steady state depends on this reuse)."""
     N_local = N // mesh.shape["draws"]
+    twin_local = max(N_local // eng.TWIN_DIV, 1)
 
     def per_target(b):
         d_idx = jax.lax.axis_index("draws")
@@ -321,9 +327,9 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
         qs0 = jnp.zeros((N_local,), jnp.float32)
         kw = dict(exptime=exptime, n_t=n_t, ns=ns, chunk=chunk)
 
-        def ev(lnL, lnw):
+        def ev(lnL, lnw, n_total=N):
             m, s = _local_lnZ_parts(lnL + lnw)
-            return _combine_lnZ(m, s, N, "draws")
+            return _combine_lnZ(m, s, n_total, "draws")
 
         def planet(d, u1x, u2x, g, lnprior, obs=None, sig=None):
             obs = obs_i if obs is None else obs
@@ -340,13 +346,19 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
                          d["a_R"], d["inc_rad"], d["eccs"], d["w_rad"],
                          u1x, u2x, d["g_pri"], d["g_sec"], d["mask"],
                          apply_veto=True, **kw)
-            lnL_t = lnL_eb(time_i, obs, sig, d["k"], d["ksec"],
-                           2.0 * d["P"], d["a_R_twin"], d["inc_rad_twin"],
-                           d["eccs"], d["w_rad"], u1x, u2x, d["g_pri"],
-                           d["g_sec"], d["mask_twin"], apply_veto=False,
-                           **kw)
+            # twin branch on its own conditioned draw set (engine module
+            # notes); the global twin denominator is nt * n_draw_shards
+            t = d["twin"]
+            nt = t["P"].shape[0]
+            u1t = t.get("u1s", u1x[:nt])
+            u2t = t.get("u2s", u2x[:nt])
+            lnL_t = lnL_eb(time_i, obs, sig, t["k"], t["ksec"],
+                           2.0 * t["P"], t["a_R"], t["inc_rad"],
+                           t["eccs"], t["w_rad"], u1t, u2t, t["g_pri"],
+                           t["g_sec"], t["mask"], apply_veto=False, **kw)
             return (ev(lnL, lnprior + d["lnw"]),
-                    ev(lnL_t, lnprior + d["lnw_twin"]))
+                    ev(lnL_t, t["lnprior"] + t["lnw"],
+                       nt * mesh.shape["draws"]))
 
         lnZ = [None] * 15
         if not set((0,)) <= set(drop_idx):
@@ -356,7 +368,8 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
             lnZ[0] = planet(d, u1a, u2a, ones, 0.0)
         if not set((1, 2)) <= set(drop_idx):
             # EB, EBx2P (:843)
-            d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff, N=N_local)
+            d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff,
+                               N=N_local, twin_n=twin_local)
             lnZ[1], lnZ[2] = eb_pair(d, u1a, u2a, 0.0)
         if not set((3,)) <= set(drop_idx):
             # PTP (:904)
@@ -368,7 +381,7 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
             # PEB, PEBx2P (:953)
             d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                seps, cons, N=N_local, use_molusc=False,
-                               cc_filt=eff_cc_filt)
+                               cc_filt=eff_cc_filt, twin_n=twin_local)
             lnZ[4], lnZ[5] = eb_pair(d, u1a, u2a, d["lnprior"])
         if not set((6,)) <= set(drop_idx):
             # STP (:1017)
@@ -381,7 +394,8 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
             # SEB, SEBx2P (:1066)
             d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab13"], b["u2_tab13"], seps, cons,
-                               N=N_local, use_molusc=False, cc_filt=eff_cc_filt)
+                               N=N_local, use_molusc=False,
+                               cc_filt=eff_cc_filt, twin_n=twin_local)
             lnZ[7], lnZ[8] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
         if not set((9,)) <= set(drop_idx):
             # DTP (:1130)
@@ -395,7 +409,8 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
             d = eng.sample_background_eb(
                 ks[7], P_orb, P_orb, M_s, R_s, Teff, b["bg"], seps, cons,
                 N=N_local, has_cc=has_cc, host_is_bg=False,
-                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"],
+                twin_n=twin_local)
             lnZ[10], lnZ[11] = eb_pair(d, u1a, u2a, d["lnprior"])
         if not set((12,)) <= set(drop_idx):
             # BTP (:1242)
@@ -409,7 +424,8 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
             d = eng.sample_background_eb(
                 jax.random.fold_in(ks[7], 1), P_orb, P_orb, M_s, R_s, Teff,
                 b["bg"], seps, cons, N=N_local, has_cc=has_cc, host_is_bg=True,
-                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"])
+                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"],
+                twin_n=twin_local)
             lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
 
         # nearby-star rows: NTP/NEB/NEBx2P per slot on the flux
@@ -435,7 +451,8 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
                                              flatpriors=flatpriors)
                 z = planet(d, nu1, nu2, ones, 0.0, obs=obs_k, sig=sig_k)
                 lnZ.append(jnp.where(valid, z, neg))
-                d = eng.sample_teb(kB, P_orb, P_orb, nM, nR, nT, N=N_local)
+                d = eng.sample_teb(kB, P_orb, P_orb, nM, nR, nT,
+                                   N=N_local, twin_n=twin_local)
                 z1, z2 = eb_pair(d, nu1, nu2, 0.0, obs=obs_k, sig=sig_k)
                 lnZ.append(jnp.where(valid, z1, neg))
                 lnZ.append(jnp.where(valid, z2, neg))

@@ -199,6 +199,45 @@ def _sample_q_generic(x, M_s, p1, p2, F_twin):
     return jnp.where(M_s <= 0.1, jnp.ones_like(x), out)
 
 
+def _q_cdf95_3seg(q_min, p1, p2, F_twin):
+    """P(q < 0.95) for the 3-segment law (closed form: the inverse CDF's
+    segment boundary Norm * (I1 + I2))."""
+    A1 = (0.3**p1) / (0.3**p2)
+    A2 = (1 + F_twin / (1 - F_twin)
+          * ((1.0 ** (p2 + 1) - 0.3 ** (p2 + 1)) / (p2 + 1))
+          / ((1.0 ** (p2 + 1) - 0.95 ** (p2 + 1)) / (p2 + 1)))
+    I1 = (0.3 ** (p1 + 1) - q_min ** (p1 + 1)) / (p1 + 1)
+    I2 = A1 * (0.95 ** (p2 + 1) - 0.3 ** (p2 + 1)) / (p2 + 1)
+    I3 = A2 * A1 * (1.0 ** (p2 + 1) - 0.95 ** (p2 + 1)) / (p2 + 1)
+    return (I1 + I2) / (I1 + I2 + I3)
+
+
+def _q_cdf95_2seg(q_min, p2, F_twin):
+    A2 = (1 + F_twin / (1 - F_twin)
+          * ((1.0 ** (p2 + 1) - q_min ** (p2 + 1)) / (p2 + 1))
+          / ((1.0 ** (p2 + 1) - 0.95 ** (p2 + 1)) / (p2 + 1)))
+    I2 = (0.95 ** (p2 + 1) - q_min ** (p2 + 1)) / (p2 + 1)
+    I3 = A2 * (1.0 ** (p2 + 1) - 0.95 ** (p2 + 1)) / (p2 + 1)
+    return I2 / (I2 + I3)
+
+
+def q_below_twin_cdf(M_s, p1=0.3, p2=-0.5, F_twin=0.30):
+    """P(q < 0.95) under ``sample_q``'s law — the twin band's complement
+    mass. Used to importance-sample the EBx2P branch on conditioned
+    draws: x' = u095 + u * (1 - u095) lands every draw in q >= 0.95 with
+    exact ln-weight log(1 - u095). Defaults are sample_q's constants;
+    mirrors _sample_q_generic's primary-mass regimes exactly."""
+    M_s = jnp.asarray(M_s)
+    q_min = 0.1 / jnp.maximum(M_s, 1e-6)
+    big = _q_cdf95_3seg(0.1, p1, p2, F_twin)
+    mid = _q_cdf95_3seg(jnp.minimum(q_min, 0.999), p1, p2, F_twin)
+    small = _q_cdf95_2seg(jnp.minimum(q_min, 0.999), p2, F_twin)
+    out = jnp.where(M_s >= 1.0, big, jnp.where(M_s >= 0.3, mid, small))
+    # M_s <= 0.1: sample_q returns q = 1 always -> the twin band has all
+    # the mass (P(q < 0.95) = 0)
+    return jnp.where(M_s <= 0.1, jnp.zeros_like(out), out)
+
+
 def sample_q(x, M_s):
     """Short-period binary mass ratios (F_twin=0.30, p2=-0.5)."""
     return _sample_q_generic(x, M_s, 0.3, -0.5, 0.30)

@@ -237,21 +237,30 @@ def lnZ_TTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
                 fluxratio_comp=_zeros())
 
 
+def _twin_n(N, importance_sampling):
+    """Twin-branch conditioned draw count: N // TWIN_DIV under importance
+    sampling, 0 (legacy shared draws) otherwise (engine module notes)."""
+    return max(N // eng.TWIN_DIV, 1) if importance_sampling else 0
+
+
 def _eb_lnZ_pair(d, t_ss, obs_dev, sigma, u1a, u2a, exptime, n_t, ns,
-                 chunk, lnprior, k_twin=None, ksec_twin=None):
-    """Shared normal+twin EB likelihood/evidence computation."""
-    N = d["k"].shape[0]
+                 chunk):
+    """Shared normal+twin EB likelihood computation. The twin branch is
+    read uniformly from d['twin'] (a conditioned independent draw set
+    under importance sampling, an aliased view of the shared draws
+    otherwise — engine module notes)."""
     lnL = lnL_eb(t_ss, obs_dev, sigma, d["k"], d["ksec"], d["P"], d["a_R"],
                  d["inc_rad"], d["eccs"], d["w_rad"], u1a, u2a,
                  d["g_pri"], d["g_sec"], d["mask"],
                  exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
                  apply_veto=True)
-    kt = d["k"] if k_twin is None else k_twin
-    kst = d["ksec"] if ksec_twin is None else ksec_twin
-    lnL_twin = lnL_eb(t_ss, obs_dev, sigma, kt, kst, 2.0 * d["P"],
-                      d["a_R_twin"], d["inc_rad_twin"], d["eccs"],
-                      d["w_rad"], u1a, u2a, d["g_pri"], d["g_sec"],
-                      d["mask_twin"],
+    t = d["twin"]
+    nt = t["P"].shape[0]
+    u1t = t.get("u1s", u1a[:nt])
+    u2t = t.get("u2s", u2a[:nt])
+    lnL_twin = lnL_eb(t_ss, obs_dev, sigma, t["k"], t["ksec"], 2.0 * t["P"],
+                      t["a_R"], t["inc_rad"], t["eccs"], t["w_rad"],
+                      u1t, u2t, t["g_pri"], t["g_sec"], t["mask"],
                       exptime=exptime, n_t=n_t, ns=ns, chunk=chunk,
                       apply_veto=False)
     return lnL, lnL_twin
@@ -267,23 +276,24 @@ def lnZ_TEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
     u1, u2 = lookup_target(Z, Teff, _logg(M_s, R_s), mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_teb(_key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff),
-                       N=N, stratified=importance_sampling)
+                       N=N, stratified=importance_sampling,
+                       twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     u1a, u2a = _u_arrays(u1, u2, N)
-    zero = jnp.zeros((N,), jnp.float32)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 exptime, n_t, nsamples, chunk, zero)
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios")
+                                 exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios")
     lnZ, g = eng.run_finalize(lnL, d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnw"], _gd(t, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros(), fluxratio_comp=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                      "ecc": g["eccs"], "argp": g["argps"],
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
-                           "b": gt["b_twin"], "ecc": gt["eccs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+                           "b": gt["b"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
                            "fluxratio_EB": gt["fluxratios"]}, **const)
@@ -335,15 +345,17 @@ def lnZ_PEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
     d = eng.sample_peb(_key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff),
                        F32(plx), qs_in, jnp.asarray(seps), jnp.asarray(cons),
                        N=N, use_molusc=use_molusc, cc_filt=cc_filt,
-                       stratified=importance_sampling)
+                       stratified=importance_sampling,
+                       twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 exptime, n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios", "fluxratios_comp")
+                                 exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios", "fluxratios_comp")
     lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
-                                _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnprior"] + t["lnw"],
+                                _gd(t, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -351,8 +363,8 @@ def lnZ_PEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"],
                      "fluxratio_comp": g["fluxratios_comp"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
-                           "b": gt["b_twin"], "ecc": gt["eccs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+                           "b": gt["b"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
                            "fluxratio_EB": gt["fluxratios"],
@@ -413,23 +425,23 @@ def lnZ_SEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                        jnp.asarray(u2_tab.astype(F32)),
                        jnp.asarray(seps), jnp.asarray(cons),
                        N=N, use_molusc=use_molusc, cc_filt=cc_filt,
-                       stratified=importance_sampling)
+                       stratified=importance_sampling,
+                       twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
-                                 d["u2s"], exptime, n_t, nsamples, chunk,
-                                 d["lnprior"])
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios", "fluxratios_comp",
-              "masses_comp", "radii_comp", "u1s", "u2s")
+                                 d["u2s"], exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios", "fluxratios_comp", "masses_comp", "radii_comp",
+              "u1s", "u2s")
     lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
-                                _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnprior"] + t["lnw"],
+                                _gd(t, *gnames))
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["masses_comp"], "R_s": gg["radii_comp"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs_twin"] if twin else gg["incs"],
-                         "b": gg["b_twin"] if twin else gg["b"],
+                         "inc": gg["incs"], "b": gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
                          "fluxratio_EB": gg["fluxratios"],
@@ -492,15 +504,17 @@ def lnZ_DEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, has_cc=cc_filt is not None, host_is_bg=False,
-        cc_filt=cc_filt or "TESS", stratified=importance_sampling)
+        cc_filt=cc_filt or "TESS", stratified=importance_sampling,
+        twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     u1a, u2a = _u_arrays(u1, u2, N)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 exptime, n_t, nsamples, chunk, d["lnprior"])
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios", "fluxratios_comp")
+                                 exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios", "fluxratios_comp")
     lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
-                                _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnprior"] + t["lnw"],
+                                _gd(t, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
@@ -508,8 +522,8 @@ def lnZ_DEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, Tmag, Jmag, Hmag,
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"],
                      "fluxratio_comp": g["fluxratios_comp"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
-                           "b": gt["b_twin"], "ecc": gt["eccs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+                           "b": gt["b"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": gt["radii"],
                            "fluxratio_EB": gt["fluxratios"],
@@ -567,23 +581,23 @@ def lnZ_BEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Tmag, Jmag, Hmag,
         _key(key), P_lo, P_hi, F32(M_s), F32(R_s), F32(Teff), bg,
         jnp.asarray(seps), jnp.asarray(cons),
         N=N, has_cc=cc_filt is not None, host_is_bg=True,
-        cc_filt=cc_filt or "TESS", stratified=importance_sampling)
+        cc_filt=cc_filt or "TESS", stratified=importance_sampling,
+        twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
-                                 d["u2s"], exptime, n_t, nsamples, chunk,
-                                 d["lnprior"])
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios", "fluxratios_comp",
-              "host_mass", "host_rad", "u1s", "u2s")
+                                 d["u2s"], exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios", "fluxratios_comp", "host_mass", "host_rad",
+              "u1s", "u2s")
     lnZ, g = eng.run_finalize(lnL, d["lnprior"] + d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnprior"] + d["lnw_twin"],
-                                _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnprior"] + t["lnw"],
+                                _gd(t, *gnames))
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["host_mass"], "R_s": gg["host_rad"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs_twin"] if twin else gg["incs"],
-                         "b": gg["b_twin"] if twin else gg["b"],
+                         "inc": gg["incs"], "b": gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
                          "fluxratio_EB": gg["fluxratios"],
@@ -647,24 +661,21 @@ def lnZ_NEB_unknown(time, flux, sigma, P_orb, Tmag, trilegal_fname,
     P_lo, P_hi = _p_bounds(P_orb)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_neb_unknown(_key(key), P_lo, P_hi, pop, N=N,
-                               stratified=importance_sampling)
-    u1a, u2a = d["u1s"], d["u2s"]
-    zero = jnp.zeros((N,), jnp.float32)
-    lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 exptime, n_t, nsamples, chunk, zero)
-    gather = _gd(d, "P", "incs", "incs_twin", "b", "b_twin", "eccs",
-                 "argps", "masses", "radii", "fluxratios", "host_mass",
-                 "host_rad")
-    gather["u1s"], gather["u2s"] = u1a, u2a
-    lnZ, g = eng.run_finalize(lnL, d["lnw"], gather)
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], gather)
+                               stratified=importance_sampling,
+                               twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
+    lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
+                                 d["u2s"], exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios", "host_mass", "host_rad", "u1s", "u2s")
+    lnZ, g = eng.run_finalize(lnL, d["lnw"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnw"], _gd(t, *gnames))
 
     def mk(gg, lz, twin):
         return _res(lz, {"M_s": gg["host_mass"], "R_s": gg["host_rad"],
                          "u1": gg["u1s"], "u2": gg["u2s"],
                          "P_orb": 2 * gg["P"] if twin else gg["P"],
-                         "inc": gg["incs_twin"] if twin else gg["incs"],
-                         "b": gg["b_twin"] if twin else gg["b"],
+                         "inc": gg["incs"], "b": gg["b"],
                          "ecc": gg["eccs"], "argp": gg["argps"],
                          "M_EB": gg["masses"], "R_EB": gg["radii"],
                          "fluxratio_EB": gg["fluxratios"]},
@@ -712,24 +723,25 @@ def lnZ_NEB_evolved(time, flux, sigma, P_orb, R_s, Teff, Z,
     u1, u2 = lookup_target(Z, Teff, 3.0, mission)
     t_ss, obs_dev, n_t, chunk = _lc(time, flux, exptime, nsamples)
     d = eng.sample_neb_evolved(_key(key), P_lo, P_hi, F32(M_s), F32(R_s),
-                               F32(Teff), N=N, stratified=importance_sampling)
+                               F32(Teff), N=N,
+                               stratified=importance_sampling,
+                               twin_n=_twin_n(N, importance_sampling))
+    t = d["twin"]
     u1a, u2a = _u_arrays(u1, u2, N)
-    zero = jnp.zeros((N,), jnp.float32)
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), u1a, u2a,
-                                 exptime, n_t, nsamples, chunk, zero,
-                                 k_twin=d["k_twin"], ksec_twin=d["ksec_twin"])
-    gnames = ("P", "incs", "incs_twin", "b", "b_twin", "eccs", "argps",
-              "masses", "radii", "fluxratios")
+                                 exptime, n_t, nsamples, chunk)
+    gnames = ("P", "incs", "b", "eccs", "argps", "masses", "radii",
+              "fluxratios")
     lnZ, g = eng.run_finalize(lnL, d["lnw"], _gd(d, *gnames))
-    lnZt, gt = eng.run_finalize(lnL_twin, d["lnw_twin"], _gd(d, *gnames))
+    lnZt, gt = eng.run_finalize(lnL_twin, t["lnw"], _gd(t, *gnames))
     const = dict(M_s=_full(M_s), R_s=_full(R_s), u1=_full(u1), u2=_full(u2),
                  R_p=_zeros(), fluxratio_comp=_zeros())
     res = _res(lnZ, {"P_orb": g["P"], "inc": g["incs"], "b": g["b"],
                      "ecc": g["eccs"], "argp": g["argps"],
                      "M_EB": g["masses"], "R_EB": g["radii"],
                      "fluxratio_EB": g["fluxratios"]}, **const)
-    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs_twin"],
-                           "b": gt["b_twin"], "ecc": gt["eccs"],
+    res_twin = _res(lnZt, {"P_orb": 2 * gt["P"], "inc": gt["incs"],
+                           "b": gt["b"], "ecc": gt["eccs"],
                            "argp": gt["argps"], "M_EB": gt["masses"],
                            "R_EB": np.full(N_SAMPLES, R_s),
                            "fluxratio_EB": gt["fluxratios"]}, **const)

@@ -41,6 +41,7 @@ from ..constants import G, MSUN, RSUN, REARTH, PI
 from ..core.numerics import log_mean_exp_jax
 from ..priors.samplers import (
     sample_rp, sample_inc, sample_ecc, sample_w, sample_q, sample_q_companion,
+    q_below_twin_cdf,
 )
 from ..priors.companion import (
     lnprior_bound_TP, lnprior_bound_EB, lnprior_background,
@@ -54,6 +55,7 @@ from ..ops.lightcurve import (
 
 F32 = jnp.float32
 N_SAMPLES = 100  # top-k best-fit draws kept (reference ml.py:152)
+TWIN_DIV = 4     # twin-branch conditioned draw count = N // TWIN_DIV
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +404,174 @@ def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors,
 
 
 # --------------------------- EB-family samplers ----------------------------
+#
+# Twin (EBx2P) stratification: with ``stratified=True`` and ``twin_n > 0``
+# every EB sampler returns a ``d["twin"]`` dict holding an INDEPENDENT
+# conditioned draw set of size twin_n instead of sharing the normal
+# branch's N draws:
+#
+#   * q is drawn from q | q >= 0.95 via the analytic CDF
+#     (priors.samplers.q_below_twin_cdf), carrying exact ln-weight
+#     log P(q >= 0.95) — every twin lane is in-band instead of ~27%.
+#   * cos(inc) is drawn from a grazing-edge mixture over [0, min(Ptra,1)]:
+#     the twin model's undiluted depth is enormous, so the evidence is
+#     dominated by a thin grazing sliver at the top of the cos(inc)
+#     range; the mixture places _TWIN_EDGE_ALPHA of the draws in the top
+#     _TWIN_EDGE_DELTA fraction with exact density reweighting.
+#
+# Both are exact importance reweightings of the reference's estimator
+# (marginal_likelihoods.py twin branches, e.g. ml.py:253-268): the twin
+# lnZ uses N_total = twin_n with the weights absorbing P(q >= 0.95) and
+# the proposal densities. With ``twin_n = N // 4`` the twin core costs
+# ~4x less while its effective in-band sample size slightly exceeds the
+# shared-draw scheme's, and the grazing mixture cuts the max-domination
+# variance further (docs/parity.md twin-stratification table).
+#
+# With ``twin_n = 0`` (or stratified=False) the legacy shared-draw twin
+# branch is kept bit-for-bit and ``d["twin"]`` is an aliased view of it,
+# so all consumers read the twin branch uniformly through ``d["twin"]``.
+
+_TWIN_EDGE_ALPHA = 0.5   # mixture mass on the grazing edge
+_TWIN_EDGE_DELTA = 0.05  # edge width as a fraction of the cos(inc) range
+
+
+def _coprime_stride(n, frac):
+    """Smallest odd stride >= frac * n coprime with n (host, trace time)."""
+    import math
+    s = max(1, int(frac * n)) | 1
+    while math.gcd(s, n) != 1:
+        s += 2
+    return s
+
+
+def _lattice_strat(u, axes, n):
+    """Jittered Korobov-lattice stratification of selected uniform
+    streams: stream ``axes[j]`` becomes ((i * s_j mod n) + u_i) / n with
+    coprime strides s_j, keeping each marginal exactly U[0,1] (the jitter
+    u_i is iid) while spreading the lanes evenly along every stratified
+    axis. Used only on the twin-conditioned draw sets, where the
+    evidence is dominated by thin slivers of the (cos inc, q, w, ecc)
+    space; stratification makes the per-axis sliver hit counts
+    deterministic instead of Binomial (measured: DEBx2P mesh-to-mesh
+    lnZ spread 4.9 -> 0.25 nats at 8k twin draws)."""
+    fracs = (0.0, 0.6180339887, 0.3819660113, 0.2360679775)
+    out = list(u)
+    base = np.arange(n, dtype=np.int64)
+    for j, ax in enumerate(axes):
+        if j == 0:
+            perm = base
+        else:
+            perm = base * _coprime_stride(n, fracs[j]) % n
+        out[ax] = (jnp.asarray(perm, out[ax].dtype) + out[ax]) / n
+    return out
+
+
+def _inc_twin_mixture(u_inc, Ptra):
+    """cos(inc) from the grazing-edge mixture over [0, w = min(Ptra, 1)].
+
+    Proposal density q(c) = (1-a)/w + (a/(d w)) 1{c > w(1-d)} with
+    ln-weight -ln q(c) (target density 1 on cos inc in [0,1], as in the
+    reference's rejection scheme); the input uniforms arrive
+    lattice-stratified (_lattice_strat)."""
+    a, dl = _TWIN_EDGE_ALPHA, _TWIN_EDGE_DELTA
+    w = jnp.minimum(Ptra, 1.0)
+    split = (1.0 - a) * (1.0 - dl)
+    lo = u_inc * w / (1.0 - a)
+    hi = w * ((1.0 - dl) + (u_inc - split) / ((1.0 - a) + a / dl))
+    edge = u_inc > split
+    cosi = jnp.where(edge, hi, lo)
+    dens = jnp.where(edge, ((1.0 - a) + a / dl), (1.0 - a)) / w
+    incs_deg = jnp.arccos(jnp.clip(cosi, 0.0, 1.0)) * (180.0 / PI)
+    tra_ok = Ptra <= 1.0
+    return incs_deg, tra_ok, -jnp.log(dens)
+
+
+def _twin_q(u, M_q):
+    """(qs, ln-mass): q | q >= 0.95 by inverse-CDF restriction."""
+    u095 = q_below_twin_cdf(M_q)
+    qs = sample_q(u095 + u * (1.0 - u095), M_q)
+    return qs, jnp.log1p(-u095)
+
+
+def _twin_geom(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg, u_inc,
+               coll_R_occ_cm, Ptra_R_occ_cm=None):
+    """Twin-branch geometry at 2P on a conditioned draw set with the
+    grazing-edge inclination mixture. Ptra_R_occ_cm overrides the
+    transit-probability radius for the NEB_evolved 2*R_s quirk
+    (reference ml.py:3052)."""
+    a_twin = _semimajor(2.0 * P, M_tot)
+    sin_argp = jnp.sin(argps_deg * PI / 180.0)
+    e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
+    R_occ = (radii_rsun * RSUN + R_host_rsun * RSUN
+             if Ptra_R_occ_cm is None else Ptra_R_occ_cm)
+    Ptra = R_occ / a_twin * e_corr
+    r_twin = a_twin * (1.0 - eccs**2) / (1.0 + eccs * sin_argp)
+    coll = coll_R_occ_cm > a_twin * (1.0 - eccs)
+    incs, tra_ok, lnw = _inc_twin_mixture(u_inc, Ptra)
+    b = _impact_param(r_twin, incs, R_host_rsun)
+    return dict(a=a_twin, incs=incs, b=b, geo_ok=tra_ok & ~coll, lnw=lnw)
+
+
+def _twin_pack(P, qs, eccs, argps, masses, radii, fluxratios, tb,
+               R_host_rsun, kk, ksec, g_pri, g_sec, lnqmass, extra_ok=None,
+               lnprior=None, **extra):
+    """Assemble a conditioned twin dict (same field names as the normal
+    branch so consumers are uniform)."""
+    inc_rad, w_rad = _kernel_angles(tb["incs"], argps)
+    mask = tb["geo_ok"] if extra_ok is None else tb["geo_ok"] & extra_ok
+    n = P.shape[0]
+    d = dict(P=P, qs=qs, eccs=eccs, argps=argps, masses=masses, radii=radii,
+             fluxratios=fluxratios, a=tb["a"], incs=tb["incs"], b=tb["b"],
+             mask=mask, lnw=tb["lnw"] + lnqmass, inc_rad=inc_rad,
+             w_rad=w_rad, k=kk, ksec=ksec, g_pri=g_pri, g_sec=g_sec,
+             a_R=tb["a"] / (R_host_rsun * RSUN),
+             lnprior=jnp.zeros((n,), F32) if lnprior is None else lnprior)
+    d.update(extra)
+    return d
+
+
+def _twin_alias(d):
+    """Twin-branch view of a legacy shared-draw EB sampler output, so
+    consumers can always read the twin branch as d['twin']."""
+    N = d["P"].shape[0]
+    t = dict(P=d["P"], qs=d["qs"], eccs=d["eccs"], argps=d["argps"],
+             masses=d["masses"], radii=d["radii"],
+             fluxratios=d["fluxratios"], a=d["a_twin"], incs=d["incs_twin"],
+             b=d["b_twin"], mask=d["mask_twin"], lnw=d["lnw_twin"],
+             inc_rad=d["inc_rad_twin"], w_rad=d["w_rad"],
+             k=d.get("k_twin", d["k"]), ksec=d.get("ksec_twin", d["ksec"]),
+             g_pri=d["g_pri"], g_sec=d["g_sec"], a_R=d["a_R_twin"],
+             lnprior=d.get("lnprior", jnp.zeros((N,), F32)))
+    for name in ("fluxratios_comp", "masses_comp", "radii_comp", "u1s",
+                 "u2s", "idxs", "host_mass", "host_rad"):
+        if name in d:
+            t[name] = d[name]
+    return t
+
+
+def _eb_normal_branch(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg,
+                      u_inc, stratified):
+    """Normal-branch geometry only (twin handled on its own conditioned
+    draw set; see module notes)."""
+    a, Ptra, coll, r = _geom_base(P, M_tot, R_host_rsun, radii_rsun * RSUN,
+                                  eccs, argps_deg)
+    incs, tra_ok, lnw = _inc_weighted(u_inc, Ptra, stratified)
+    b = _impact_param(r, incs, R_host_rsun)
+    return dict(a=a, incs=incs, b=b, geo_ok=tra_ok & ~coll, lnw=lnw)
+
+
+def _eb_pack_normal(d, P, qs, eccs, argps, masses, radii, fluxratios,
+                    nb, R_host_rsun, kk, ksec, g_pri, g_sec, extra_ok):
+    """Normal-branch-only variant of _eb_pack (twin rides in d['twin'])."""
+    inc_rad, w_rad = _kernel_angles(nb["incs"], argps)
+    d.update(
+        P=P, incs=nb["incs"], qs=qs, eccs=eccs, argps=argps, masses=masses,
+        radii=radii, fluxratios=fluxratios, a=nb["a"], b=nb["b"],
+        mask=nb["geo_ok"] & (qs < 0.95) & extra_ok, lnw=nb["lnw"],
+        inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec, g_pri=g_pri,
+        g_sec=g_sec, a_R=nb["a"] / (R_host_rsun * RSUN))
+    return d
+
 
 def _eb_branches(P, M_tot, R_host_rsun, radii_rsun, eccs, argps_deg, u_inc,
                  twin_R_occ_cm, stratified):
@@ -446,84 +616,167 @@ def _eb_pack(d, P, qs, eccs, argps, masses, radii, fluxratios,
     return d
 
 
-@partial(jax.jit, static_argnames=("N", "stratified"))
-def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N, stratified=True):
-    """TEB / NEB: target (or nearby star) is an eclipsing binary
-    (reference ml.py:175-383)."""
-    u = _uniforms(key, 5, N)
+def _teb_fields(key, P_lo, P_hi, M_s, R_s, Teff, n, twin):
+    """Shared TEB field block; twin=True conditions q on the twin band."""
+    u = _uniforms(key, 5, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
     P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], M_s)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], M_s)
+    else:
+        qs, lnqmass = sample_q(u[2], M_s), 0.0
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     masses = qs * M_s
-    radii, _teffs = stellar_relations(
-        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+    radii, _ = stellar_relations(
+        masses, jnp.full((n,), R_s, F32), jnp.full((n,), Teff, F32), xp=jnp)
     fluxratios = _fluxratio_vs_target(masses, M_s)
-    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
-                          2.0 * R_s * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
-    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    return _eb_pack({}, P, qs, eccs, argps, masses, radii, fluxratios,
-                    nb, tb, R_s, kk, ksec, g_pri, g_sec,
-                    jnp.ones((N,), bool))
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((n,), F32), False)
+    return u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios, \
+        kk, ksec, g_pri, g_sec
 
 
-@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified"))
-def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
-               *, N, use_molusc, cc_filt, stratified=True):
-    """PEB: target EB + unresolved bound companion (reference ml.py:589-866)."""
-    u = _uniforms(key, 6, N)
+@partial(jax.jit, static_argnames=("N", "stratified", "twin_n"))
+def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N, stratified=True,
+               twin_n=0):
+    """TEB / NEB: target (or nearby star) is an eclipsing binary
+    (reference ml.py:175-383). twin_n > 0 (stratified only): the EBx2P
+    branch runs on its own conditioned draw set (see module notes)."""
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios,
+     kk, ksec, g_pri, g_sec) = _teb_fields(key, P_lo, P_hi, M_s, R_s, Teff,
+                                           N, twin=False)
+    if stratified and twin_n:
+        nb = _eb_normal_branch(P, M_s + masses, R_s, radii, eccs, argps,
+                               u[1], stratified)
+        d = _eb_pack_normal({}, P, qs, eccs, argps, masses, radii,
+                            fluxratios, nb, R_s, kk, ksec, g_pri, g_sec,
+                            jnp.ones((N,), bool))
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt,
+         kkt, ksect, g_prit, g_sect) = _teb_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, M_s, R_s, Teff,
+            twin_n, twin=True)
+        tbt = _twin_geom(Pt, M_s + massest, R_s, radiit, eccst, argpst,
+                         ut[1], 2.0 * R_s * RSUN)
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, R_s, kkt, ksect, g_prit, g_sect, lnqm)
+        return d
+    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
+                          2.0 * R_s * RSUN, stratified)
+    d = _eb_pack({}, P, qs, eccs, argps, masses, radii, fluxratios,
+                 nb, tb, R_s, kk, ksec, g_pri, g_sec,
+                 jnp.ones((N,), bool))
+    d["twin"] = _twin_alias(d)
+    return d
+
+
+def _peb_fields(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps,
+                cons, n, use_molusc, cc_filt, twin):
+    """Shared PEB field block. twin=True conditions q on the twin band
+    and resamples the companion set (molusc rows by random gather so the
+    zero-padding proportion is preserved)."""
+    u = _uniforms(key, 6, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
     P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], M_s)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], M_s)
+    else:
+        qs, lnqmass = sample_q(u[2], M_s), 0.0
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     if use_molusc:
-        qs_comp = qs_comp_in
+        if twin:
+            idx = jax.random.randint(jax.random.fold_in(key, 555), (n,), 0,
+                                     qs_comp_in.shape[0])
+            qs_comp = qs_comp_in[idx]
+        else:
+            qs_comp = qs_comp_in
     else:
         qs_comp = sample_q_companion(u[5], M_s)
     masses = qs * M_s
     radii, _ = stellar_relations(
-        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+        masses, jnp.full((n,), R_s, F32), jnp.full((n,), Teff, F32), xp=jnp)
     fluxratios = _fluxratio_vs_target(masses, M_s)
     masses_comp = qs_comp * M_s
     fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
     if use_molusc:
-        lnprior = jnp.zeros((N,), F32)
+        lnprior = jnp.zeros((n,), F32)
     else:
         lnprior = _companion_prior_bound(
             "EB", M_s, plx, masses_comp, fluxratios_comp, cc_filt, seps, cons)
-    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
-                          2.0 * R_s * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, R_s)
     F_EB = fluxratios / (1.0 - fluxratios)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g_pri, g_sec = eb_dilution(F_EB, F_comp, False)
-    return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior),
-                    P, qs, eccs, argps, masses, radii, fluxratios,
-                    nb, tb, R_s, kk, ksec, g_pri, g_sec, qs_comp != 0.0)
+    return (u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios,
+            qs_comp, fluxratios_comp, lnprior, kk, ksec, g_pri, g_sec)
 
 
-@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified"))
-def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
-               u1_tab, u2_tab, seps, cons, *, N, use_molusc, cc_filt,
-               stratified=True):
-    """SEB: the unresolved bound companion is itself an EB
-    (reference ml.py:1080-1376). Note the EB flux ratio denominator uses
-    the *target* mass (ml.py:1193-1196) and the companion prior uses the
-    combined companion+EB delta-mag (ml.py:1200-1235)."""
-    u = _uniforms(key, 6, N)
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified",
+                                   "twin_n"))
+def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
+               *, N, use_molusc, cc_filt, stratified=True, twin_n=0):
+    """PEB: target EB + unresolved bound companion (reference ml.py:589-866)."""
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios, qs_comp,
+     fluxratios_comp, lnprior, kk, ksec, g_pri, g_sec) = _peb_fields(
+        key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons, N,
+        use_molusc, cc_filt, twin=False)
+    if stratified and twin_n:
+        nb = _eb_normal_branch(P, M_s + masses, R_s, radii, eccs, argps,
+                               u[1], stratified)
+        d = _eb_pack_normal(dict(fluxratios_comp=fluxratios_comp,
+                                 lnprior=lnprior),
+                            P, qs, eccs, argps, masses, radii, fluxratios,
+                            nb, R_s, kk, ksec, g_pri, g_sec, qs_comp != 0.0)
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt, qs_compt,
+         fr_compt, lnpriort, kkt, ksect, g_prit, g_sect) = _peb_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, M_s, R_s, Teff, plx,
+            qs_comp_in, seps, cons, twin_n, use_molusc, cc_filt, twin=True)
+        tbt = _twin_geom(Pt, M_s + massest, R_s, radiit, eccst, argpst,
+                         ut[1], 2.0 * R_s * RSUN)
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, R_s, kkt, ksect, g_prit, g_sect, lnqm,
+                               extra_ok=qs_compt != 0.0, lnprior=lnpriort,
+                               fluxratios_comp=fr_compt)
+        return d
+    nb, tb = _eb_branches(P, M_s + masses, R_s, radii, eccs, argps, u[1],
+                          2.0 * R_s * RSUN, stratified)
+    d = _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior),
+                 P, qs, eccs, argps, masses, radii, fluxratios,
+                 nb, tb, R_s, kk, ksec, g_pri, g_sec, qs_comp != 0.0)
+    d["twin"] = _twin_alias(d)
+    return d
+
+
+def _seb_fields(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, u1_tab,
+                u2_tab, seps, cons, n, use_molusc, cc_filt, twin):
+    """Shared SEB field block (companion chain + per-draw LDC)."""
+    u = _uniforms(key, 6, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
     P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], M_s)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], M_s)
+    else:
+        qs, lnqmass = sample_q(u[2], M_s), 0.0
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     if use_molusc:
-        qs_comp = qs_comp_in
+        if twin:
+            idx = jax.random.randint(jax.random.fold_in(key, 555), (n,), 0,
+                                     qs_comp_in.shape[0])
+            qs_comp = qs_comp_in[idx]
+        else:
+            qs_comp = qs_comp_in
     else:
         qs_comp = sample_q_companion(u[5], M_s)
     masses_comp = qs_comp * M_s
     radii_comp, teffs_comp = stellar_relations(
-        masses_comp, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+        masses_comp, jnp.full((n,), R_s, F32), jnp.full((n,), Teff, F32),
+        xp=jnp)
     loggs_comp = jnp.log10(G * (masses_comp * MSUN) /
                            jnp.maximum(radii_comp * RSUN, 1.0) ** 2)
     fluxratios_comp = _fluxratio_vs_target(masses_comp, M_s)
@@ -535,7 +788,7 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
     radii, _ = stellar_relations(masses, radii_comp, teffs_comp, xp=jnp)
     fluxratios = _fluxratio_vs_target(masses, M_s)
     if use_molusc:
-        lnprior = jnp.zeros((N,), F32)
+        lnprior = jnp.zeros((n,), F32)
     else:
         if cc_filt is None:
             fr_c, fr_e = fluxratios_comp, fluxratios
@@ -545,39 +798,79 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
         delta_mags = 2.5 * jnp.log10(fr_c / (1.0 - fr_c) + fr_e / (1.0 - fr_e))
         lnp = lnprior_bound_EB(M_s, plx, jnp.abs(delta_mags), seps, cons)
         lnprior = clamp_companion_prior(lnp, delta_mags)
-    nb, tb = _eb_branches(P, masses_comp + masses, radii_comp, radii, eccs,
-                          argps, u[1], 2.0 * radii_comp * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, radii_comp)
     F_EB = fluxratios / (1.0 - fluxratios)
     F_comp = fluxratios_comp / (1.0 - fluxratios_comp)
     g_pri, g_sec = eb_dilution(F_EB, F_comp, True)
-    return _eb_pack(dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior,
-                         masses_comp=masses_comp, radii_comp=radii_comp,
-                         u1s=u1s, u2s=u2s),
-                    P, qs, eccs, argps, masses, radii, fluxratios,
-                    nb, tb, radii_comp, kk, ksec, g_pri, g_sec,
-                    qs_comp != 0.0)
+    return (u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios,
+            qs_comp, masses_comp, radii_comp, fluxratios_comp, u1s, u2s,
+            lnprior, kk, ksec, g_pri, g_sec)
 
 
-@partial(jax.jit, static_argnames=("N", "has_cc", "host_is_bg", "cc_filt",
-                                   "stratified"))
-def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
-                         *, N, has_cc, host_is_bg, cc_filt="TESS",
-                         stratified=True, n_comp=None):
-    """DEB (host_is_bg=False) and BEB (host_is_bg=True)
-    (reference ml.py:1571-1837 DEB, :2038-2362 BEB). BEB applies the
-    distance correction to the EB flux ratio (ml.py:2146-2159).
-    n_comp: optional traced population count (see
-    sample_background_planet)."""
-    u = _uniforms(key, 5, N)
+@partial(jax.jit, static_argnames=("N", "use_molusc", "cc_filt", "stratified",
+                                   "twin_n"))
+def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
+               u1_tab, u2_tab, seps, cons, *, N, use_molusc, cc_filt,
+               stratified=True, twin_n=0):
+    """SEB: the unresolved bound companion is itself an EB
+    (reference ml.py:1080-1376). Note the EB flux ratio denominator uses
+    the *target* mass (ml.py:1193-1196) and the companion prior uses the
+    combined companion+EB delta-mag (ml.py:1200-1235)."""
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios, qs_comp,
+     masses_comp, radii_comp, fluxratios_comp, u1s, u2s, lnprior,
+     kk, ksec, g_pri, g_sec) = _seb_fields(
+        key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, u1_tab, u2_tab,
+        seps, cons, N, use_molusc, cc_filt, twin=False)
+    extra = dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior,
+                 masses_comp=masses_comp, radii_comp=radii_comp,
+                 u1s=u1s, u2s=u2s)
+    if stratified and twin_n:
+        nb = _eb_normal_branch(P, masses_comp + masses, radii_comp, radii,
+                               eccs, argps, u[1], stratified)
+        d = _eb_pack_normal(extra, P, qs, eccs, argps, masses, radii,
+                            fluxratios, nb, radii_comp, kk, ksec, g_pri,
+                            g_sec, qs_comp != 0.0)
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt, qs_compt,
+         m_compt, r_compt, fr_compt, u1st, u2st, lnpriort, kkt, ksect,
+         g_prit, g_sect) = _seb_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, M_s, R_s, Teff, plx,
+            qs_comp_in, u1_tab, u2_tab, seps, cons, twin_n, use_molusc,
+            cc_filt, twin=True)
+        tbt = _twin_geom(Pt, m_compt + massest, r_compt, radiit, eccst,
+                         argpst, ut[1], 2.0 * r_compt * RSUN)
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, r_compt, kkt, ksect, g_prit, g_sect,
+                               lnqm, extra_ok=qs_compt != 0.0,
+                               lnprior=lnpriort,
+                               fluxratios_comp=fr_compt,
+                               masses_comp=m_compt, radii_comp=r_compt,
+                               u1s=u1st, u2s=u2st)
+        return d
+    nb, tb = _eb_branches(P, masses_comp + masses, radii_comp, radii, eccs,
+                          argps, u[1], 2.0 * radii_comp * RSUN, stratified)
+    d = _eb_pack(extra, P, qs, eccs, argps, masses, radii, fluxratios,
+                 nb, tb, radii_comp, kk, ksec, g_pri, g_sec,
+                 qs_comp != 0.0)
+    d["twin"] = _twin_alias(d)
+    return d
+
+
+def _bg_eb_fields(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons, n,
+                  has_cc, host_is_bg, cc_filt, N_comp, twin):
+    """Shared DEB/BEB field block (own bg-row draws per call)."""
+    u = _uniforms(key, 5, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
     key_idx = jax.random.fold_in(key, 777)
-    N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
     hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
-    idxs = jax.random.randint(key_idx, (N,), 0, hi)
+    idxs = jax.random.randint(key_idx, (n,), 0, hi)
     row = _drawn_rows(bg, idxs, BG_PACK_FIELDS)
     fluxratios_draw = row["fluxratios"]
     P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], M_s)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], M_s)
+    else:
+        qs, lnqmass = sample_q(u[2], M_s), 0.0
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     if host_is_bg:
@@ -593,13 +886,13 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
         F_comp = fluxratios_draw / (1.0 - fluxratios_draw)
         g_pri, g_sec = eb_dilution(fluxratios / (1.0 - fluxratios), F_comp, True)
     else:
-        host_mass = jnp.full((N,), M_s, F32)
-        host_rad = jnp.full((N,), R_s, F32)
+        host_mass = jnp.full((n,), M_s, F32)
+        host_rad = jnp.full((n,), R_s, F32)
         u1s = u2s = None
-        pop_ok = jnp.ones((N,), bool)
+        pop_ok = jnp.ones((n,), bool)
         masses = qs * M_s
         radii, _ = stellar_relations(
-            masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
+            masses, jnp.full((n,), R_s, F32), jnp.full((n,), Teff, F32), xp=jnp)
         fluxratios = _fluxratio_vs_target(masses, M_s)
         F_comp = fluxratios_draw / (1.0 - fluxratios_draw)
         g_pri, g_sec = eb_dilution(fluxratios / (1.0 - fluxratios), F_comp, False)
@@ -626,40 +919,121 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
     else:
         lnprior = _background_prior(has_cc, N_comp, fluxratios_draw,
                                     row["delta_band"], seps, cons)
+    kk, ksec = eb_radius_ratios(radii, host_rad)
+    return (u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios,
+            fluxratios_draw, idxs, host_mass, host_rad, u1s, u2s, pop_ok,
+            lnprior, kk, ksec, g_pri, g_sec)
+
+
+@partial(jax.jit, static_argnames=("N", "has_cc", "host_is_bg", "cc_filt",
+                                   "stratified", "twin_n"))
+def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
+                         *, N, has_cc, host_is_bg, cc_filt="TESS",
+                         stratified=True, n_comp=None, twin_n=0):
+    """DEB (host_is_bg=False) and BEB (host_is_bg=True)
+    (reference ml.py:1571-1837 DEB, :2038-2362 BEB). BEB applies the
+    distance correction to the EB flux ratio (ml.py:2146-2159).
+    n_comp: optional traced population count (see
+    sample_background_planet)."""
+    N_comp = bg["fluxratios"].shape[0] if n_comp is None else n_comp
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios, fluxratios_draw,
+     idxs, host_mass, host_rad, u1s, u2s, pop_ok, lnprior,
+     kk, ksec, g_pri, g_sec) = _bg_eb_fields(
+        key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons, N, has_cc,
+        host_is_bg, cc_filt, N_comp, twin=False)
+    extra = dict(fluxratios_comp=fluxratios_draw, lnprior=lnprior, idxs=idxs,
+                 host_mass=host_mass, host_rad=host_rad)
+    if u1s is not None:
+        extra["u1s"], extra["u2s"] = u1s, u2s
+    if stratified and twin_n:
+        nb = _eb_normal_branch(P, host_mass + masses, host_rad, radii, eccs,
+                               argps, u[1], stratified)
+        d = _eb_pack_normal(extra, P, qs, eccs, argps, masses, radii,
+                            fluxratios, nb, host_rad, kk, ksec, g_pri,
+                            g_sec, pop_ok)
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt, fr_drawt,
+         idxst, h_mt, h_rt, u1st, u2st, pop_okt, lnpriort,
+         kkt, ksect, g_prit, g_sect) = _bg_eb_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, M_s, R_s, Teff, bg,
+            seps, cons, twin_n, has_cc, host_is_bg, cc_filt, N_comp,
+            twin=True)
+        tbt = _twin_geom(Pt, h_mt + massest, h_rt, radiit, eccst, argpst,
+                         ut[1], 2.0 * h_rt * RSUN)
+        textra = dict(fluxratios_comp=fr_drawt, idxs=idxst,
+                      host_mass=h_mt, host_rad=h_rt)
+        if u1st is not None:
+            textra["u1s"], textra["u2s"] = u1st, u2st
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, h_rt, kkt, ksect, g_prit, g_sect, lnqm,
+                               extra_ok=pop_okt, lnprior=lnpriort, **textra)
+        return d
     nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
                           argps, u[1], 2.0 * host_rad * RSUN, stratified)
-    kk, ksec = eb_radius_ratios(radii, host_rad)
-    d = dict(fluxratios_comp=fluxratios_draw, lnprior=lnprior, idxs=idxs,
-             host_mass=host_mass, host_rad=host_rad)
-    if u1s is not None:
-        d["u1s"], d["u2s"] = u1s, u2s
-    return _eb_pack(d, P, qs, eccs, argps, masses, radii, fluxratios,
-                    nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
+    d = _eb_pack(extra, P, qs, eccs, argps, masses, radii, fluxratios,
+                 nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
+    d["twin"] = _twin_alias(d)
+    return d
 
 
-@partial(jax.jit, static_argnames=("N", "stratified"))
+def _neb_evolved_fields(key, P_lo, P_hi, M_s, R_s, Teff, n, twin):
+    u = _uniforms(key, 5, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
+    P = _draw_P(u[0], P_lo, P_hi)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], 1.0)
+    else:
+        qs, lnqmass = sample_q(u[2], 1.0), 0.0
+    eccs = sample_ecc(u[3], False, jnp.mean(P))
+    argps = sample_w(u[4])
+    masses = qs * M_s
+    radii, _ = stellar_relations(
+        masses, jnp.full((n,), R_s, F32), jnp.full((n,), Teff, F32), xp=jnp)
+    fluxratios = _fluxratio_vs_target(masses, M_s)
+    F_EB = fluxratios / (1.0 - fluxratios)
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((n,), F32), False)
+    return (u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios,
+            g_pri, g_sec)
+
+
+@partial(jax.jit, static_argnames=("N", "stratified", "twin_n"))
 def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N,
-                       stratified=True):
+                       stratified=True, twin_n=0):
     """NEB for subgiant stars (logg=3.0 assumption; M_s derived on host)
     (reference ml.py:2969-3178). Twin-branch quirks preserved: Ptra_twin
     uses (R_s + R_s) instead of (radii + R_s) (ml.py:3052) and the twin
     lnL call passes R_EB = R_s so the twin radius ratio is exactly 1
     before the 0.999 adjustment (ml.py:3100)."""
-    u = _uniforms(key, 5, N)
-    P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], 1.0)
-    eccs = sample_ecc(u[3], False, jnp.mean(P))
-    argps = sample_w(u[4])
-    masses = qs * M_s
-    radii, _ = stellar_relations(
-        masses, jnp.full((N,), R_s, F32), jnp.full((N,), Teff, F32), xp=jnp)
-    fluxratios = _fluxratio_vs_target(masses, M_s)
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios,
+     g_pri, g_sec) = _neb_evolved_fields(key, P_lo, P_hi, M_s, R_s, Teff,
+                                         N, twin=False)
     # normal branch
     a, Ptra, coll, r = _geom_base(P, M_s + masses, R_s, radii * RSUN,
                                   eccs, argps)
     incs, tra_ok, lnw = _inc_weighted(u[1], Ptra, stratified)
     b = _impact_param(r, incs, R_s)
-    # twin branch with the 2*R_s quirks
+    inc_rad, w_rad = _kernel_angles(incs, argps)
+    kk, ksec = eb_radius_ratios(radii, R_s)
+    d = dict(P=P, incs=incs, qs=qs, eccs=eccs, argps=argps, masses=masses,
+             radii=radii, fluxratios=fluxratios, a=a, b=b,
+             mask=tra_ok & ~coll & (qs < 0.95), lnw=lnw,
+             inc_rad=inc_rad, w_rad=w_rad, k=kk, ksec=ksec,
+             g_pri=g_pri, g_sec=g_sec, a_R=a / (R_s * RSUN))
+    if stratified and twin_n:
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt,
+         g_prit, g_sect) = _neb_evolved_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, M_s, R_s, Teff,
+            twin_n, twin=True)
+        # twin quirks: Ptra/collision radius 2*R_s; k = ksec from
+        # R_EB = R_s exactly (the 0.999 adjustment)
+        tbt = _twin_geom(Pt, M_s + massest, R_s, radiit, eccst, argpst,
+                         ut[1], 2.0 * R_s * RSUN,
+                         Ptra_R_occ_cm=2.0 * R_s * RSUN)
+        k_t, ksec_t = eb_radius_ratios(jnp.full((twin_n,), R_s, F32), R_s)
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, R_s, k_t, ksec_t, g_prit, g_sect, lnqm)
+        return d
+    # legacy shared-draw twin branch with the 2*R_s quirks
     a_twin = _semimajor(2.0 * P, M_s + masses)
     sin_argp = jnp.sin(argps * PI / 180.0)
     e_corr = (1.0 + eccs * sin_argp) / (1.0 - eccs**2)
@@ -668,42 +1042,35 @@ def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N,
     coll_twin = (2.0 * R_s * RSUN) > a_twin * (1.0 - eccs)
     incs_t, tra_ok_t, lnw_t = _inc_weighted(u[1], Ptra_twin, stratified)
     b_twin = _impact_param(r_twin, incs_t, R_s)
-    inc_rad, w_rad = _kernel_angles(incs, argps)
     inc_rad_t, _ = _kernel_angles(incs_t, argps)
-    kk, ksec = eb_radius_ratios(radii, R_s)
     # twin branch: R_EB = R_s exactly -> k = ksec = 1 -> 0.999 adjustment
     k_twin, ksec_twin = eb_radius_ratios(jnp.full((N,), R_s, F32), R_s)
-    F_EB = fluxratios / (1.0 - fluxratios)
-    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    return dict(P=P, incs=incs, incs_twin=incs_t, qs=qs, eccs=eccs,
-                argps=argps, masses=masses, radii=radii,
-                fluxratios=fluxratios,
-                a=a, b=b, a_twin=a_twin, b_twin=b_twin,
-                mask=tra_ok & ~coll & (qs < 0.95),
-                mask_twin=tra_ok_t & ~coll_twin & (qs >= 0.95),
-                lnw=lnw, lnw_twin=lnw_t,
-                inc_rad=inc_rad, inc_rad_twin=inc_rad_t, w_rad=w_rad,
-                k=kk, ksec=ksec, k_twin=k_twin, ksec_twin=ksec_twin,
-                g_pri=g_pri, g_sec=g_sec,
-                a_R=a / (R_s * RSUN), a_R_twin=a_twin / (R_s * RSUN))
+    d.update(incs_twin=incs_t, a_twin=a_twin, b_twin=b_twin,
+             mask_twin=tra_ok_t & ~coll_twin & (qs >= 0.95),
+             lnw_twin=lnw_t, inc_rad_twin=inc_rad_t,
+             k_twin=k_twin, ksec_twin=ksec_twin,
+             a_R_twin=a_twin / (R_s * RSUN))
+    d["twin"] = _twin_alias(d)
+    return d
 
 
-@partial(jax.jit, static_argnames=("N", "stratified"))
-def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True):
-    """NEB for a star of unknown properties (reference ml.py:2554-2829).
-    qs drawn with M_s=1.0; EB flux ratio is relative to the drawn host
-    (ml.py:2672-2676)."""
-    u = _uniforms(key, 5, N)
+def _neb_unknown_fields(key, P_lo, P_hi, pop, n, twin):
+    u = _uniforms(key, 5, n)
+    if twin:
+        u = _lattice_strat(u, (1, 2, 4, 3), n)
     key_idx = jax.random.fold_in(key, 777)
     N_pos = pop["masses"].shape[0]
-    idxs = jax.random.randint(key_idx, (N,), 0, N_pos)
+    idxs = jax.random.randint(key_idx, (n,), 0, N_pos)
     row = _drawn_rows(pop, idxs, POP_PACK_FIELDS)
     host_mass = row["masses"]
     host_rad = row["radii"]
     u1s, u2s = row["u1s"], row["u2s"]
     pop_ok = (row["loggs"] >= 3.5) & (row["teffs"] <= 10000.0)
     P = _draw_P(u[0], P_lo, P_hi)
-    qs = sample_q(u[2], 1.0)
+    if twin:
+        qs, lnqmass = _twin_q(u[2], 1.0)
+    else:
+        qs, lnqmass = sample_q(u[2], 1.0), 0.0
     eccs = sample_ecc(u[3], False, jnp.mean(P))
     argps = sample_w(u[4])
     masses = qs * host_mass
@@ -711,13 +1078,49 @@ def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True):
     f_eb = flux_relation(masses, "TESS", xp=jnp)
     f_host = flux_relation(host_mass, "TESS", xp=jnp)
     fluxratios = f_eb / (f_eb + f_host)
-    nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
-                          argps, u[1], 2.0 * host_rad * RSUN, stratified)
     kk, ksec = eb_radius_ratios(radii, host_rad)
     F_EB = fluxratios / (1.0 - fluxratios)
-    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((N,), F32), False)
-    return _eb_pack(dict(idxs=idxs, host_mass=host_mass, host_rad=host_rad,
-                         u1s=u1s, u2s=u2s, g=jnp.ones((N,), F32),
-                         lnprior=jnp.zeros((N,), F32)),
-                    P, qs, eccs, argps, masses, radii, fluxratios,
-                    nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
+    g_pri, g_sec = eb_dilution(F_EB, jnp.zeros((n,), F32), False)
+    return (u, P, qs, lnqmass, eccs, argps, masses, radii, fluxratios,
+            idxs, host_mass, host_rad, u1s, u2s, pop_ok, kk, ksec,
+            g_pri, g_sec)
+
+
+@partial(jax.jit, static_argnames=("N", "stratified", "twin_n"))
+def sample_neb_unknown(key, P_lo, P_hi, pop, *, N, stratified=True,
+                       twin_n=0):
+    """NEB for a star of unknown properties (reference ml.py:2554-2829).
+    qs drawn with M_s=1.0; EB flux ratio is relative to the drawn host
+    (ml.py:2672-2676)."""
+    (u, P, qs, _, eccs, argps, masses, radii, fluxratios, idxs,
+     host_mass, host_rad, u1s, u2s, pop_ok, kk, ksec,
+     g_pri, g_sec) = _neb_unknown_fields(key, P_lo, P_hi, pop, N,
+                                         twin=False)
+    extra = dict(idxs=idxs, host_mass=host_mass, host_rad=host_rad,
+                 u1s=u1s, u2s=u2s, g=jnp.ones((N,), F32),
+                 lnprior=jnp.zeros((N,), F32))
+    if stratified and twin_n:
+        nb = _eb_normal_branch(P, host_mass + masses, host_rad, radii, eccs,
+                               argps, u[1], stratified)
+        d = _eb_pack_normal(extra, P, qs, eccs, argps, masses, radii,
+                            fluxratios, nb, host_rad, kk, ksec, g_pri,
+                            g_sec, pop_ok)
+        (ut, Pt, qst, lnqm, eccst, argpst, massest, radiit, frt, idxst,
+         h_mt, h_rt, u1st, u2st, pop_okt, kkt, ksect,
+         g_prit, g_sect) = _neb_unknown_fields(
+            jax.random.fold_in(key, 999), P_lo, P_hi, pop, twin_n,
+            twin=True)
+        tbt = _twin_geom(Pt, h_mt + massest, h_rt, radiit, eccst, argpst,
+                         ut[1], 2.0 * h_rt * RSUN)
+        d["twin"] = _twin_pack(Pt, qst, eccst, argpst, massest, radiit, frt,
+                               tbt, h_rt, kkt, ksect, g_prit, g_sect, lnqm,
+                               extra_ok=pop_okt, idxs=idxst,
+                               host_mass=h_mt, host_rad=h_rt,
+                               u1s=u1st, u2s=u2st)
+        return d
+    nb, tb = _eb_branches(P, host_mass + masses, host_rad, radii, eccs,
+                          argps, u[1], 2.0 * host_rad * RSUN, stratified)
+    d = _eb_pack(extra, P, qs, eccs, argps, masses, radii, fluxratios,
+                 nb, tb, host_rad, kk, ksec, g_pri, g_sec, pop_ok)
+    d["twin"] = _twin_alias(d)
+    return d
