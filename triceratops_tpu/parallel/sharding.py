@@ -298,18 +298,76 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
         raise ValueError(f"unknown drop_scenario entries: {sorted(unknown)}")
     drop_idx = tuple(i for i, s in enumerate(FULL_SCENARIOS)
                      if s in drop_scenario)
-    step = _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
-                            has_cc, eff_cc_filt, drop_idx)
-    return step(batch)
+    cfg = (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt)
+    core = {k: v for k, v in batch.items() if k != "nearby"}
+    B = batch["key"].shape[0]
+
+    # one jitted sharded program per scenario FAMILY, all enqueued
+    # before anything is pulled: on one chip this restores the serial
+    # path's async-dispatch overlap (the round-2 fused megaprogram ran
+    # 4.4 s/target vs 2.4 serial because one big serialized program
+    # cannot overlap host prep/dispatch with device compute); on many
+    # chips each program shards identically to the old fused step.
+    rows = [None] * 15
+    for fam, idxs in _FAMILY_ROWS:
+        if set(idxs) <= set(drop_idx):
+            continue
+        out = _build_family_step(mesh, fam, cfg)(core)
+        for i, z in zip(idxs, out):
+            rows[i] = z
+    neg = jnp.full((B,), -jnp.inf, jnp.float32)
+    rows = [neg if z is None or i in drop_idx else z
+            for i, z in enumerate(rows)]
+
+    nearby = batch.get("nearby")
+    if nearby is not None:
+        K = nearby["valid"].shape[1]
+        for kk in range(K):
+            sub = dict(core)
+            sub["nb_slot"] = jnp.full((B,), kk, jnp.int32)
+            for f in ("M_s", "R_s", "Teff", "u1", "u2", "fluxratio"):
+                sub["nb_" + f] = nearby[f][:, kk]
+            sub["nb_valid"] = nearby["valid"][:, kk]
+            for fam in ("NTP", "NEB"):
+                out = _build_family_step(mesh, fam, cfg)(sub)
+                rows.extend(out)
+
+    lnZv = jnp.stack(rows, axis=1)  # (B, 15 + 3K)
+    return _combine_rows(lnZv)
 
 
-@lru_cache(maxsize=16)
-def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
-                     has_cc, eff_cc_filt, drop_idx):
-    """Build + cache the jitted sharded step: re-invoking batch_fpp_full
-    with the same (mesh, config) must not re-trace the 15-scenario
-    megaprogram (~40 s of host tracing per call otherwise — the
-    catalog-replay steady state depends on this reuse)."""
+@jax.jit
+def _combine_rows(lnZv):
+    """(FPP, NFPP, lnZ) from the stacked per-scenario evidences
+    (reference triceratops.py:1431-1483)."""
+    norm = jax.vmap(lambda z: jnp.exp(z - logsumexp_jax(z)))
+    probs = norm(lnZv)
+    fpp = jnp.maximum(1.0 - (probs[:, 0] + probs[:, 3] + probs[:, 9]), 0.0)
+    if lnZv.shape[1] > 15:
+        nfpp = jnp.sum(probs[:, 15:], axis=1)
+    else:
+        nfpp = jnp.zeros_like(fpp)
+    return fpp, nfpp, lnZv
+
+
+# scenario family -> FULL_SCENARIOS row indices it produces
+_FAMILY_ROWS = (("TP", (0,)), ("EB", (1, 2)), ("PTP", (3,)),
+                ("PEB", (4, 5)), ("STP", (6,)), ("SEB", (7, 8)),
+                ("DTP", (9,)), ("DEB", (10, 11)), ("BTP", (12,)),
+                ("BEB", (13, 14)))
+
+
+@lru_cache(maxsize=128)
+def _build_family_step(mesh, fam, cfg):
+    """Build + cache ONE scenario family's jitted sharded program: the
+    (B,)-per-row lnZ evidences over the ('targets', 'draws') mesh.
+
+    Replaces the round-2 fused 15-scenario megaprogram: per-family
+    programs dispatch asynchronously (restoring serial-loop overlap on
+    one chip), compile faster, and shard identically. Keys reproduce the
+    fused step's stream layout (ks = split(fold_in(key, d_idx), 8), one
+    slot per family; nearby slots fold_in(key, 100 + slot))."""
+    (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt) = cfg
     N_local = N // mesh.shape["draws"]
     twin_local = max(N_local // eng.TWIN_DIV, 1)
 
@@ -360,114 +418,105 @@ def _build_full_step(mesh, N, n_t, ns, chunk, exptime, flatpriors,
                     ev(lnL_t, t["lnprior"] + t["lnw"],
                        nt * mesh.shape["draws"]))
 
-        lnZ = [None] * 15
-        if not set((0,)) <= set(drop_idx):
+        if fam == "TP":
             # TP (reference triceratops.py:797)
             d = eng.sample_planet_target(ks[0], P_orb, P_orb, M_s, R_s,
                                          N=N_local, flatpriors=flatpriors)
-            lnZ[0] = planet(d, u1a, u2a, ones, 0.0)
-        if not set((1, 2)) <= set(drop_idx):
+            return (planet(d, u1a, u2a, ones, 0.0),)
+        if fam == "EB":
             # EB, EBx2P (:843)
             d = eng.sample_teb(ks[1], P_orb, P_orb, M_s, R_s, Teff,
                                N=N_local, twin_n=twin_local)
-            lnZ[1], lnZ[2] = eb_pair(d, u1a, u2a, 0.0)
-        if not set((3,)) <= set(drop_idx):
+            return eb_pair(d, u1a, u2a, 0.0)
+        if fam == "PTP":
             # PTP (:904)
             d = eng.sample_ptp(ks[2], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                seps, cons, N=N_local, flatpriors=flatpriors,
                                use_molusc=False, cc_filt=eff_cc_filt)
-            lnZ[3] = planet(d, u1a, u2a, d["g"], d["lnprior"])
-        if not set((4, 5)) <= set(drop_idx):
+            return (planet(d, u1a, u2a, d["g"], d["lnprior"]),)
+        if fam == "PEB":
             # PEB, PEBx2P (:953)
             d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                seps, cons, N=N_local, use_molusc=False,
                                cc_filt=eff_cc_filt, twin_n=twin_local)
-            lnZ[4], lnZ[5] = eb_pair(d, u1a, u2a, d["lnprior"])
-        if not set((6,)) <= set(drop_idx):
+            return eb_pair(d, u1a, u2a, d["lnprior"])
+        if fam == "STP":
             # STP (:1017)
             d = eng.sample_stp(ks[4], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab10"], b["u2_tab10"], seps, cons,
                                N=N_local, flatpriors=flatpriors,
                                use_molusc=False, cc_filt=eff_cc_filt)
-            lnZ[6] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
-        if not set((7, 8)) <= set(drop_idx):
+            return (planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"]),)
+        if fam == "SEB":
             # SEB, SEBx2P (:1066)
             d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab13"], b["u2_tab13"], seps, cons,
                                N=N_local, use_molusc=False,
                                cc_filt=eff_cc_filt, twin_n=twin_local)
-            lnZ[7], lnZ[8] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
-        if not set((9,)) <= set(drop_idx):
+            return eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+        if fam == "DTP":
             # DTP (:1130)
             d = eng.sample_background_planet(
-                ks[6], P_orb, P_orb, M_s, R_s, b["bg"], seps, cons, N=N_local,
-                flatpriors=flatpriors, has_cc=has_cc, host_is_bg=False,
-                n_comp=b["n_comp"])
-            lnZ[9] = planet(d, u1a, u2a, d["g"], d["lnprior"])
-        if not set((10, 11)) <= set(drop_idx):
+                ks[6], P_orb, P_orb, M_s, R_s, b["bg"], seps, cons,
+                N=N_local, flatpriors=flatpriors, has_cc=has_cc,
+                host_is_bg=False, n_comp=b["n_comp"])
+            return (planet(d, u1a, u2a, d["g"], d["lnprior"]),)
+        if fam == "DEB":
             # DEB, DEBx2P (:1178)
             d = eng.sample_background_eb(
                 ks[7], P_orb, P_orb, M_s, R_s, Teff, b["bg"], seps, cons,
                 N=N_local, has_cc=has_cc, host_is_bg=False,
                 cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"],
                 twin_n=twin_local)
-            lnZ[10], lnZ[11] = eb_pair(d, u1a, u2a, d["lnprior"])
-        if not set((12,)) <= set(drop_idx):
+            return eb_pair(d, u1a, u2a, d["lnprior"])
+        if fam == "BTP":
             # BTP (:1242)
             d = eng.sample_background_planet(
-                jax.random.fold_in(ks[6], 1), P_orb, P_orb, M_s, R_s, b["bg"],
-                seps, cons, N=N_local, flatpriors=flatpriors, has_cc=has_cc,
-                host_is_bg=True, n_comp=b["n_comp"])
-            lnZ[12] = planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"])
-        if not set((13, 14)) <= set(drop_idx):
+                jax.random.fold_in(ks[6], 1), P_orb, P_orb, M_s, R_s,
+                b["bg"], seps, cons, N=N_local, flatpriors=flatpriors,
+                has_cc=has_cc, host_is_bg=True, n_comp=b["n_comp"])
+            return (planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"]),)
+        if fam == "BEB":
             # BEB, BEBx2P (:1291)
             d = eng.sample_background_eb(
                 jax.random.fold_in(ks[7], 1), P_orb, P_orb, M_s, R_s, Teff,
-                b["bg"], seps, cons, N=N_local, has_cc=has_cc, host_is_bg=True,
-                cc_filt=eff_cc_filt or "TESS", n_comp=b["n_comp"],
-                twin_n=twin_local)
-            lnZ[13], lnZ[14] = eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
+                b["bg"], seps, cons, N=N_local, has_cc=has_cc,
+                host_is_bg=True, cc_filt=eff_cc_filt or "TESS",
+                n_comp=b["n_comp"], twin_n=twin_local)
+            return eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
 
-        # nearby-star rows: NTP/NEB/NEBx2P per slot on the flux
+        # nearby-star rows: NTP or NEB/NEBx2P for one slot, on the flux
         # renormalized for that star's aperture contribution
         # (renorm_flux, reference funcs.py:164-177; scenario reuse
-        # triceratops.py:1344-1428)
-        nearby = b.get("nearby")
-        if nearby is not None:
-            K = nearby["valid"].shape[0]
-            neg = jnp.float32(-jnp.inf)
-            for kk in range(K):
-                fr = nearby["fluxratio"][kk]
-                valid = nearby["valid"][kk]
-                nM, nR = nearby["M_s"][kk], nearby["R_s"][kk]
-                nT = nearby["Teff"][kk]
-                nu1 = jnp.full((N_local,), nearby["u1"][kk], jnp.float32)
-                nu2 = jnp.full((N_local,), nearby["u2"][kk], jnp.float32)
-                obs_k = obs_i / fr
-                sig_k = sigma / fr
-                kA, kB = jax.random.split(jax.random.fold_in(key, 100 + kk))
-                d = eng.sample_planet_target(kA, P_orb, P_orb, nM, nR,
-                                             N=N_local,
-                                             flatpriors=flatpriors)
-                z = planet(d, nu1, nu2, ones, 0.0, obs=obs_k, sig=sig_k)
-                lnZ.append(jnp.where(valid, z, neg))
-                d = eng.sample_teb(kB, P_orb, P_orb, nM, nR, nT,
-                                   N=N_local, twin_n=twin_local)
-                z1, z2 = eb_pair(d, nu1, nu2, 0.0, obs=obs_k, sig=sig_k)
-                lnZ.append(jnp.where(valid, z1, neg))
-                lnZ.append(jnp.where(valid, z2, neg))
+        # triceratops.py:1344-1428). Invalid (padding) slots -> -inf.
+        fr = b["nb_fluxratio"]
+        valid = b["nb_valid"]
+        neg = jnp.float32(-jnp.inf)
+        obs_k = obs_i / fr
+        sig_k = sigma / fr
+        nu1 = jnp.full((N_local,), b["nb_u1"], jnp.float32)
+        nu2 = jnp.full((N_local,), b["nb_u2"], jnp.float32)
+        kA, kB = jax.random.split(
+            jax.random.fold_in(key, 100 + b["nb_slot"]))
+        if fam == "NTP":
+            d = eng.sample_planet_target(kA, P_orb, P_orb, b["nb_M_s"],
+                                         b["nb_R_s"], N=N_local,
+                                         flatpriors=flatpriors)
+            z = planet(d, nu1, nu2, ones, 0.0, obs=obs_k, sig=sig_k)
+            return (jnp.where(valid, z, neg),)
+        if fam == "NEB":
+            d = eng.sample_teb(kB, P_orb, P_orb, b["nb_M_s"], b["nb_R_s"],
+                               b["nb_Teff"], N=N_local, twin_n=twin_local)
+            z1, z2 = eb_pair(d, nu1, nu2, 0.0, obs=obs_k, sig=sig_k)
+            return (jnp.where(valid, z1, neg), jnp.where(valid, z2, neg))
+        raise ValueError(f"unknown scenario family {fam!r}")
 
-        neg_inf = jnp.float32(-jnp.inf)
-        lnZ = [neg_inf if z is None or i in drop_idx else z
-               for i, z in enumerate(lnZ)]
-        lnZv = jnp.stack(lnZ)
-        probs = jnp.exp(lnZv - logsumexp_jax(lnZv))
-        fpp = jnp.maximum(1.0 - (probs[0] + probs[3] + probs[9]), 0.0)
-        nfpp = jnp.sum(probs[15:]) if len(lnZ) > 15 else jnp.float32(0.0)
-        return fpp, nfpp, lnZv
+    fam_rows = dict(_FAMILY_ROWS)
+    n_out = len(fam_rows[fam]) if fam in fam_rows else (
+        1 if fam == "NTP" else 2)
 
     @partial(shard_map, mesh=mesh, in_specs=(P("targets"),),
-             out_specs=(P("targets"), P("targets"), P("targets")),
+             out_specs=(P("targets"),) * n_out,
              check_rep=False)
     def step(batch_shard):
         return jax.vmap(per_target)(batch_shard)
