@@ -152,7 +152,8 @@ def run_toi411(N=1000000, key=1, **kw):
         anchor="FPP 0.0399, NFPP 0.0 (example.ipynb cell 25)", **kw)
 
 
-def run_toi1228(N=1000000, key=1, binned=False, drop_companions=False):
+def run_toi1228(N=1000000, key=1, binned=False, drop_companions=False,
+                molusc_proxy=False):
     """TOI-1228 with its real contrast curve.
 
     The published anchor additionally used
@@ -160,20 +161,35 @@ def run_toi1228(N=1000000, key=1, binned=False, drop_companions=False):
     20) — a stripped large blob offline (.MISSING_LARGE_BLOBS) encoding
     the imaging+RV companion constraints. Without it the FPP is
     dominated by the bound-companion scenarios MOLUSC rules out
-    (PTP+STP ~ 0.35 of probability -> FPP ~ 0.12); with
-    drop_companions=True those scenarios are dropped as a
-    fully-ruled-out proxy and the remaining FP mass is comparable to
-    the anchor."""
+    (PTP+STP ~ 0.35 of probability -> FPP ~ 0.12). Two proxies:
+
+    * drop_companions=True drops the bound-companion scenarios entirely
+      (a fully-ruled-out bound);
+    * molusc_proxy=True synthesizes a MOLUSC-format posterior from the
+      real bundled contrast curve (tools/build_molusc_proxy.py) and
+      runs the actual ``molusc_file=`` ingestion end-to-end — the same
+      code path as the published workflow, with imaging-only (no RV /
+      Gaia) constraints."""
     stars_df, inject = toi1228_field()
     lc = toi1228_lc(binned)
     label = ("TOI-1228" + ("-binned200" if binned else "-unbinned")
-             + ("-nocomp" if drop_companions else ""))
+             + ("-nocomp" if drop_companions else "")
+             + ("-moluscproxy" if molusc_proxy else ""))
     kw = {}
     if drop_companions:
         kw["drop_scenario"] = ["PTP", "PEB", "PEBx2P", "STP", "SEB",
                                "SEBx2P"]
         anchor = ("FPP 4.09e-7, NFPP 2.36e-7 w/ MOLUSC companion "
                   "constraints (proxy: companions dropped)")
+    elif molusc_proxy:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from build_molusc_proxy import build_molusc_proxy
+        kw["molusc_file"] = build_molusc_proxy(
+            "/tmp/TOI1228_molusc_proxy.csv", M_s=2.13, plx=3.64491,
+            cc_file=os.path.join(REF, "TOI1228_cc.tbl"), N=N)
+        anchor = ("FPP 4.09e-7, NFPP 2.36e-7 w/ the real MOLUSC file "
+                  "(proxy: imaging-only synthesized posterior)")
     else:
         anchor = ("FPP 4.09e-7 WITH the offline-unavailable MOLUSC "
                   "file; without it FPP ~ P(PTP)+P(STP) by construction")
@@ -190,6 +206,7 @@ def main():
     run_toi411()
     run_toi1228(binned=True)
     run_toi1228(binned=True, drop_companions=True)
+    run_toi1228(binned=True, molusc_proxy=True)
     run_toi1228(binned=False, drop_companions=True)
 
 

@@ -231,6 +231,54 @@ def test_drop_scenario_sharded(full_batch_inputs):
     assert np.all((np.asarray(fpp) >= 0) & (np.asarray(fpp) <= 1))
 
 
+class TestMoluscSharded:
+    def test_molusc_batch_matches_api(self, full_batch_inputs, tmp_path):
+        """batch_fpp_full with per-target molusc_file: the P*/S* rows use
+        the ingested posterior (lnprior = 0, kept/N weighting) and agree
+        with the single-device api path within MC noise."""
+        import pandas as pd
+        from triceratops_tpu.scenarios import api
+
+        targets, _, n_t, _, trilegal = full_batch_inputs
+        rng = np.random.default_rng(5)
+        n_keep = 200
+        mfile = str(tmp_path / "molusc.csv")
+        pd.DataFrame({
+            "mass ratio": rng.uniform(0.2, 0.9, n_keep),
+            "semi-major axis(AU)": rng.uniform(50, 300, n_keep),
+            "eccentricity": rng.uniform(0.0, 0.5, n_keep),
+        }).to_csv(mfile, index=False)
+        tgts = [dict(t, molusc_file=mfile) for t in targets[:2]]
+        batch, n_t_b, has_cc = prepare_target_batch(tgts)
+        assert "molusc_qs" in batch
+        mesh = make_mesh(8, n_target_shards=1)
+        N = 8 * 8192
+        fpp, _n, lnZ = batch_fpp_full(mesh, batch, N=N, n_t=n_t, ns=2,
+                                      chunk=1024, has_cc=has_cc)
+        lnZ = np.asarray(lnZ)
+        assert np.all(np.isfinite(lnZ[:, :15]) | (lnZ[:, :15] < 0))
+
+        t = tgts[0]
+        r_ptp = api.lnZ_PTP(t["time"], np.asarray(t["flux"]), t["sigma"],
+                            t["P_orb"], t["M_s"], t["R_s"], t["Teff"],
+                            t["Z"], t["plx"], N=N, nsamples=2,
+                            molusc_file=mfile, key=jax.random.key(3))
+        i_ptp = FULL_SCENARIOS.index("PTP")
+        assert abs(lnZ[0, i_ptp] - float(r_ptp["lnZ"])) < 1.5, \
+            (lnZ[0, i_ptp], float(r_ptp["lnZ"]))
+
+    def test_mixed_molusc_batch_rejected(self, full_batch_inputs, tmp_path):
+        import pandas as pd
+        targets, _, _, _, _ = full_batch_inputs
+        mfile = str(tmp_path / "m1.csv")
+        pd.DataFrame({"mass ratio": [0.5],
+                      "semi-major axis(AU)": [100.0],
+                      "eccentricity": [0.1]}).to_csv(mfile, index=False)
+        tgts = [dict(targets[0], molusc_file=mfile), dict(targets[1])]
+        with pytest.raises(ValueError, match="batch-wide"):
+            prepare_target_batch(tgts)
+
+
 def test_drop_scenario_rejects_nearby_rows(full_batch_inputs):
     """Nearby-star rows cannot be dropped; asking must fail loudly, not
     silently no-op (ADVICE round-2 item 3)."""

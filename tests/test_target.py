@@ -141,6 +141,44 @@ class TestCalcProbs:
         assert (tmp_path / "fits.pdf").exists()
 
 
+class TestMoluscCalcProbs:
+    def test_molusc_file_end_to_end(self, trilegal, tmp_path):
+        """calc_probs with a MOLUSC companion posterior: the P*/S*
+        scenarios run on the ingested mass ratios with lnprior = 0 and
+        the kept/N zero-padding weight (reference ml.py:455-464), so a
+        posterior that keeps very few companions must suppress
+        P(PTP + PEB* + STP + SEB*) relative to the analytic prior."""
+        rng = np.random.default_rng(3)
+        n_keep = 40
+        pd.DataFrame({
+            "mass ratio": rng.uniform(0.2, 0.9, n_keep),
+            "semi-major axis(AU)": rng.uniform(50, 300, n_keep),
+            "eccentricity": rng.uniform(0.0, 0.5, n_keep),
+        }).to_csv(tmp_path / "molusc.csv", index=False)
+        time, flux, sigma, _ = make_transit_lightcurve(n_t=60, sigma=5e-4)
+
+        def run(molusc_file):
+            t = target.from_stars(_stars_df(n_nearby=0), ID=1000,
+                                  sectors=[1], trilegal_fname=trilegal)
+            t.calc_depths(tdepth=0.005)
+            t.calc_probs(time, flux, sigma, P_orb=3.0, N=20000, nsamples=2,
+                         verbose=0, molusc_file=molusc_file,
+                         key=jax.random.key(7))
+            pr = t.probs
+            comp = sum(pr[pr.scenario == s]["prob"].values[0]
+                       for s in ("PTP", "PEB", "PEBx2P", "STP", "SEB",
+                                 "SEBx2P"))
+            return t, comp
+
+        t_m, comp_m = run(str(tmp_path / "molusc.csv"))
+        t_0, comp_0 = run(None)
+        assert np.isclose(t_m.probs["prob"].sum(), 1.0, atol=1e-6)
+        assert not t_m.FPP_degenerate
+        # 40 kept rows / 20000 draws -> companion scenarios carry ~500x
+        # less weight than the analytic companion-frequency prior
+        assert comp_m < 0.2 * max(comp_0, 1e-30) or comp_0 < 1e-12
+
+
 class TestBehavioralFPP:
     def test_deep_eclipse_high_fpp(self, trilegal):
         """A 25%-deep eclipse cannot be a planet (R_p prior caps at 20

@@ -162,10 +162,20 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
     TRILEGAL tables are padded to the longest by repeating the last row;
     the true count rides in n_comp so padded rows are never drawn;
     nearby slots are padded to the max count with valid = False.
+
+    A per-target ``molusc_file`` (MOLUSC companion posterior replacing
+    the analytic companion draw in the P*/S* scenarios, reference
+    ml.py:455-464) is supported batch-wide: either every target carries
+    one or none does (the molusc switch is a compile-time branch of the
+    scenario programs). The kept mass-ratio rows are padded to a common
+    length with the true counts in ``molusc_kept``; the per-draw zero
+    fraction 1 - kept/N (the reference's zero-padding semantics) is
+    reproduced inside the scenario programs.
     """
     import jax.random as jrandom
     from ..scenarios.api import _prep_background
     from ..populations.ldc import lookup_target, grid_at_Z
+    from ..populations.molusc import load_molusc_kept
 
     B = len(targets)
     n_t = len(targets[0]["time"])
@@ -225,6 +235,19 @@ def prepare_target_batch(targets: list[dict], mission: str = "TESS"):
         bg=bg, n_comp=np.asarray(ncomp, np.int32),
         seps=seps, cons=cons,
     )
+    n_molusc = sum("molusc_file" in t for t in targets)
+    if n_molusc not in (0, B):
+        raise ValueError(
+            f"molusc_file set on {n_molusc}/{B} targets: the molusc "
+            "switch is batch-wide (all targets or none)")
+    if n_molusc:
+        kept = [load_molusc_kept(t["molusc_file"], t["M_s"])
+                for t in targets]
+        n_q = max(max(len(q) for q in kept), 1)
+        batch["molusc_qs"] = np.stack(
+            [np.pad(np.asarray(q, f32), (0, n_q - len(q))) for q in kept])
+        batch["molusc_kept"] = np.asarray([len(q) for q in kept], np.int32)
+
     K = max((len(t.get("nearby", ())) for t in targets), default=0)
     if K > 0:
         nb = {k: np.zeros((B, K), f32) for k in
@@ -298,7 +321,9 @@ def batch_fpp_full(mesh: Mesh, batch: dict, *, N: int, n_t: int, ns: int,
         raise ValueError(f"unknown drop_scenario entries: {sorted(unknown)}")
     drop_idx = tuple(i for i, s in enumerate(FULL_SCENARIOS)
                      if s in drop_scenario)
-    cfg = (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt)
+    use_molusc = "molusc_qs" in batch
+    cfg = (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt,
+           use_molusc)
     core = {k: v for k, v in batch.items() if k != "nearby"}
     B = batch["key"].shape[0]
 
@@ -367,7 +392,8 @@ def _build_family_step(mesh, fam, cfg):
     one chip), compile faster, and shard identically. Keys reproduce the
     fused step's stream layout (ks = split(fold_in(key, d_idx), 8), one
     slot per family; nearby slots fold_in(key, 100 + slot))."""
-    (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt) = cfg
+    (N, n_t, ns, chunk, exptime, flatpriors, has_cc, eff_cc_filt,
+     use_molusc) = cfg
     N_local = N // mesh.shape["draws"]
     twin_local = max(N_local // eng.TWIN_DIV, 1)
 
@@ -382,7 +408,17 @@ def _build_family_step(mesh, fam, cfg):
         u1a = jnp.full((N_local,), b["u1"], jnp.float32)
         u2a = jnp.full((N_local,), b["u2"], jnp.float32)
         ones = jnp.ones((N_local,), jnp.float32)
-        qs0 = jnp.zeros((N_local,), jnp.float32)
+        if use_molusc:
+            # per-draw companion mass ratios from the MOLUSC posterior
+            # with the reference's zero-padding semantics: P(zero) =
+            # 1 - kept/N (ml.py:455-464 pads the kept rows to N)
+            r = jax.random.randint(jax.random.fold_in(key, 424242),
+                                   (N_local,), 0, N)
+            n_q = b["molusc_qs"].shape[0]
+            qs0 = jnp.where(r < b["molusc_kept"],
+                            b["molusc_qs"][jnp.clip(r, 0, n_q - 1)], 0.0)
+        else:
+            qs0 = jnp.zeros((N_local,), jnp.float32)
         kw = dict(exptime=exptime, n_t=n_t, ns=ns, chunk=chunk)
 
         def ev(lnL, lnw, n_total=N):
@@ -432,12 +468,12 @@ def _build_family_step(mesh, fam, cfg):
             # PTP (:904)
             d = eng.sample_ptp(ks[2], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                seps, cons, N=N_local, flatpriors=flatpriors,
-                               use_molusc=False, cc_filt=eff_cc_filt)
+                               use_molusc=use_molusc, cc_filt=eff_cc_filt)
             return (planet(d, u1a, u2a, d["g"], d["lnprior"]),)
         if fam == "PEB":
             # PEB, PEBx2P (:953)
             d = eng.sample_peb(ks[3], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
-                               seps, cons, N=N_local, use_molusc=False,
+                               seps, cons, N=N_local, use_molusc=use_molusc,
                                cc_filt=eff_cc_filt, twin_n=twin_local)
             return eb_pair(d, u1a, u2a, d["lnprior"])
         if fam == "STP":
@@ -445,13 +481,13 @@ def _build_family_step(mesh, fam, cfg):
             d = eng.sample_stp(ks[4], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab10"], b["u2_tab10"], seps, cons,
                                N=N_local, flatpriors=flatpriors,
-                               use_molusc=False, cc_filt=eff_cc_filt)
+                               use_molusc=use_molusc, cc_filt=eff_cc_filt)
             return (planet(d, d["u1s"], d["u2s"], d["g"], d["lnprior"]),)
         if fam == "SEB":
             # SEB, SEBx2P (:1066)
             d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab13"], b["u2_tab13"], seps, cons,
-                               N=N_local, use_molusc=False,
+                               N=N_local, use_molusc=use_molusc,
                                cc_filt=eff_cc_filt, twin_n=twin_local)
             return eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
         if fam == "DTP":
