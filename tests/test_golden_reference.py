@@ -60,15 +60,21 @@ class TestKepler10b:
         t = _target_offline(stars, trilegal, ID=11904151)
         t.mission = "Kepler"
         t.calc_depths(tdepth=1.52e-4)
-        # importance sampling makes N=50k comparable to the reference's
-        # 1e6 rejection draws in effective sample size
+        # importance sampling makes N=100k comparable to the reference's
+        # 1e6 rejection draws in effective sample size; nsamples=2 keeps
+        # the CPU budget (GL-2 vs GL-4 exposure nodes move lnZ < 3e-4)
         # the reference notebook keeps the default 2-min exptime (the
         # folded curve is short-cadence; kepler_example.ipynb cell 10)
-        t.calc_probs(time, flux, sigma, P_orb=0.837, N=50000, nsamples=20,
+        t.calc_probs(time, flux, sigma, P_orb=0.837, N=100000, nsamples=2,
                      verbose=0, key=jax.random.key(0))
         assert np.isfinite(t.FPP)
-        assert t.FPP < 0.1, f"Kepler-10b FPP={t.FPP} (expected << 0.1)"
+        # measured FPP at this config is ~4e-6 (TPU N=1e6 value 3.8e-6,
+        # published 8.4e-6): a 1e-2 gate catches a 100x regression while
+        # leaving ~3 orders of MC/background headroom (VERDICT round-2
+        # item 6 tightened this from the old 0.1 gate)
+        assert t.FPP < 1e-2, f"Kepler-10b FPP={t.FPP} (expected ~4e-6)"
         assert t.NFPP == 0.0
-        # the planet probability mass may spread across TP/PTP/DTP at
-        # modest N (max-dominated lnZ); their sum is 1 - FPP > 0.9,
-        # already asserted above
+        p = t.probs["prob"].values
+        planet_mass = p[0] + p[3] + p[9]
+        assert planet_mass > 0.98, \
+            f"P(TP)+P(PTP)+P(DTP)={planet_mass} (expected > 0.98)"

@@ -133,12 +133,47 @@ class TestCalcProbs:
 
     def test_plots(self, result, tmp_path):
         time, flux, sigma, _ = make_transit_lightcurve(n_t=60, sigma=5e-4)
-        result.plot_field(sector=1, save=True,
-                          fname=str(tmp_path / "field"))
+        fig = result.plot_field(sector=1, save=True,
+                                fname=str(tmp_path / "field"))
         result.plot_fits(time, flux, sigma, save=True,
                          fname=str(tmp_path / "fits"))
         assert (tmp_path / "field.pdf").exists()
         assert (tmp_path / "fits.pdf").exists()
+        # the WCS-oriented N/E compass (reference triceratops.py:433-459)
+        # must be drawn whenever a nearby star defines the orientation
+        from mpl_toolkits.axes_grid1.anchored_artists import (
+            AnchoredDirectionArrows)
+        arrows = [a for a in fig.axes[0].artists
+                  if isinstance(a, AnchoredDirectionArrows)]
+        assert len(arrows) == 1
+
+    def test_compass_rotation(self, trilegal):
+        """The compass rotation reproduces the reference's formula: the
+        nearby star's pixel-offset angle minus its PA (E of N)."""
+        from triceratops_tpu.frontend.plotting import _compass
+        import matplotlib.pyplot as plt
+
+        t = target.from_stars(_stars_df(n_nearby=1), ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        fig, ax = plt.subplots()
+        art = _compass(ax, t, 0)
+        assert art is not None
+        v2 = t.pix_coords[0][1] - t.pix_coords[0][0]
+        expect = (np.sign(v2[0])
+                  * np.degrees(np.arccos(v2[1] / np.hypot(*v2)))
+                  - t.stars["PA (E of N)"].values[1])
+        assert np.isclose(art.compass_rotation_deg, -expect)
+        plt.close(fig)
+
+    def test_compass_absent_single_star(self, trilegal):
+        from triceratops_tpu.frontend.plotting import _compass
+        import matplotlib.pyplot as plt
+
+        t = target.from_stars(_stars_df(n_nearby=0), ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        fig, ax = plt.subplots()
+        assert _compass(ax, t, 0) is None
+        plt.close(fig)
 
 
 class TestMoluscCalcProbs:

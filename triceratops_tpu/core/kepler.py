@@ -16,11 +16,14 @@ The solver uses a fixed-iteration Newton scheme (branch-free, vmappable):
 starter E0 = M + e sin M + e^2 sin M cos M, augmented with the cube-root
 leading behavior E ~ (6M/e)^(1/3) where Newton otherwise stalls (high e
 near pericenter, 1 - e cos E -> 0). With that starter the float32 path
-converges to round-off in NEWTON_ITERS_F32 = 5 steps up to E_MAX = 0.995
-and the float64 path to residual < 1e-10 in NEWTON_ITERS = 8 (both
-validated in tests/test_kepler.py). Each Newton step costs ~13 ms per
-1e6-draw scenario core on TPU, so the iteration counts are as small as
-the accuracy gates allow.
+converges to round-off in NEWTON_ITERS_F32 = 4 steps up to E_MAX = 0.995
+(measured on a 500k-point stress grid incl. e in [0.98, 0.995] near
+pericenter: max |dE| 1.15e-6 at 4 iters vs 1.09e-6 at 5 — both at the
+f32 representation floor; 3 iters degrades to 1.2e-3 and 2 Halley steps
+to 1.1e-4) and the float64 path to residual < 1e-10 in NEWTON_ITERS = 8
+(both validated in tests/test_kepler.py). Each Newton step costs ~13 ms
+per 1e6-draw scenario core on TPU, so the iteration counts are as small
+as the accuracy gates allow.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 NEWTON_ITERS = 8       # float64 / reference-accuracy path
-NEWTON_ITERS_F32 = 5   # float32 device path
+NEWTON_ITERS_F32 = 4   # float32 device path
 E_MAX = 0.995  # eccentricity clamp; draws beyond this are unphysical here
 
 
@@ -96,20 +99,27 @@ def z2_taylor(t, t0, P, a_R, inc, e, w):
     M_tc = mean_anomaly_at_transit(e, w)
     M = M_tc + n * (t - t0)
     E = solve_kepler(M, e)
-    sh = jnp.sin(0.5 * E)
-    ch = jnp.cos(0.5 * E)
-    sinE = 2.0 * sh * ch
-    cosE = 1.0 - 2.0 * sh * sh
+    sinE = jnp.sin(E)
+    cosE = jnp.cos(E)
     beta = 1.0 - e * cosE
-    nu = 2.0 * jnp.arctan2(jnp.sqrt((1.0 + e) / (1.0 - e)) * sh, ch)
     ome2 = jnp.sqrt((1.0 - e) * (1.0 + e))
     r = a_R * beta
     rdot = a_R * e * n * sinE / beta
     rdd = a_R * e * n * n * (cosE * beta - e * sinE * sinE) / (beta * beta * beta)
     nudot = n * ome2 / (beta * beta)
     nudd = -2.0 * e * n * n * ome2 * sinE / (beta * beta * beta * beta)
-    su = jnp.sin(w + nu)
-    cu = jnp.cos(w + nu)
+    # sin/cos(w + nu) algebraically from E: cos nu = (cos E - e)/beta,
+    # sin nu = sqrt(1-e^2) sin E / beta, and sin/cos(w) are per-draw
+    # (broadcast over the time axis) — this removes one arctan2 and two
+    # per-point transcendentals from the hot path (~tens of ms per
+    # 1e6-draw core)
+    inv_beta = 1.0 / beta
+    cnu = (cosE - e) * inv_beta
+    snu = ome2 * sinE * inv_beta
+    sw = jnp.sin(w)
+    cw = jnp.cos(w)
+    su = sw * cnu + cw * snu
+    cu = cw * cnu - sw * snu
     S = jnp.sin(inc) ** 2
     s2u = 2.0 * su * cu
     c2u = 1.0 - 2.0 * su * su
@@ -142,10 +152,16 @@ def projected_z(t, t0, P, a_R, inc, e, w):
     M_tc = mean_anomaly_at_transit(e, w)
     M = M_tc + 2.0 * jnp.pi * (t - t0) / P
     E = solve_kepler(M, e)
-    nu = true_anomaly_from_E(E, e)
-    r_a = 1.0 - e * jnp.cos(E)
-    swnu = jnp.sin(w + nu)
-    z = a_R * r_a * jnp.sqrt(
+    sinE = jnp.sin(E)
+    cosE = jnp.cos(E)
+    beta = 1.0 - e * cosE
+    # sin(w + nu) algebraically from E (see z2_taylor): avoids the
+    # arctan2-based true anomaly and a per-point sin
+    inv_beta = 1.0 / beta
+    cnu = (cosE - e) * inv_beta
+    snu = jnp.sqrt((1.0 - e) * (1.0 + e)) * sinE * inv_beta
+    swnu = jnp.sin(w) * cnu + jnp.cos(w) * snu
+    z = a_R * beta * jnp.sqrt(
         jnp.maximum(1.0 - jnp.sin(inc) ** 2 * swnu**2, 0.0)
     )
     return z, swnu > 0.0

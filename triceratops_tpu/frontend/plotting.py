@@ -25,9 +25,78 @@ def _draw_aperture(ax, ap_pixels, ap_color, zorder):
             ax.plot(seg[0], seg[1], color=ap_color, zorder=zorder)
 
 
+def _pixel_grid(ax, col0, row0, corners):
+    """Light pixel-boundary grid behind the star markers."""
+    for i in corners:
+        ax.plot(np.full_like(corners, col0 + i), row0 + corners,
+                "k-", lw=0.5, zorder=0)
+        ax.plot(col0 + corners, np.full_like(corners, row0 + i),
+                "k-", lw=0.5, zorder=0)
+
+
+def _search_circle(ax, center, radius):
+    th = np.linspace(0, 2 * PI, 100)
+    ax.plot(center[0] + radius * np.cos(th), center[1] + radius * np.sin(th),
+            "k--", alpha=0.5, zorder=0)
+
+
+def _compass(ax, t, idx):
+    """N/E direction arrows rotated by the field's on-sky orientation.
+
+    The rotation is derived from the first nearby star: the angle of its
+    pixel-offset vector from the +row axis minus its catalog position
+    angle E of N (reference triceratops.py:433-459). Returns the artist
+    (None when the field has a single star and no orientation is
+    defined)."""
+    from mpl_toolkits.axes_grid1.anchored_artists import (
+        AnchoredDirectionArrows)
+
+    pc = np.asarray(t.pix_coords[idx])
+    if len(pc) < 2:
+        return None
+    v2 = pc[1] - pc[0]
+    norm = np.hypot(v2[0], v2[1])
+    if norm == 0:
+        return None
+    angle_pix = np.sign(v2[0]) * np.degrees(np.arccos(v2[1] / norm))
+    rot = angle_pix - t.stars["PA (E of N)"].values[1]
+    arrows = AnchoredDirectionArrows(
+        ax.transAxes, "E", "N", loc="upper left", color="k", angle=-rot,
+        length=0.1, fontsize=0.05, back_length=0, head_length=5,
+        head_width=5, tail_width=1)
+    arrows.compass_rotation_deg = -rot  # introspectable (tests)
+    ax.add_artist(arrows)
+    return arrows
+
+
+def _star_markers(fig, ax, t, idx):
+    tmags = t.stars["Tmag"].values
+    vmin, vmax = floor(np.nanmin(tmags)), ceil(np.nanmax(tmags))
+    style = dict(edgecolors="k", cmap=cm.viridis_r, vmin=vmin, vmax=vmax,
+                 zorder=2)
+    sc = ax.scatter(t.pix_coords[idx][1:, 0], t.pix_coords[idx][1:, 1],
+                    c=tmags[1:], s=75, rasterized=True, **style)
+    ax.scatter([t.pix_coords[idx][0, 0]], [t.pix_coords[idx][0, 1]],
+               c=[tmags[0]], s=250, marker="*", **style)
+    cb = fig.colorbar(sc, ax=ax, pad=0.02)
+    cb.ax.set_ylabel("TESS mag", rotation=270, fontsize=12, labelpad=18)
+
+
+def _mean_image(fig, ax, t, idx, corners):
+    im = ax.imshow(t.TESS_images[idx],
+                   extent=[min(t.col0s[idx] + corners),
+                           max(t.col0s[idx] + corners),
+                           max(t.row0s[idx] + corners),
+                           min(t.row0s[idx] + corners)])
+    cb = fig.colorbar(im, ax=ax, pad=0.02)
+    cb.ax.set_ylabel("flux [e$^-$ s$^{-1}$]", rotation=270, fontsize=12,
+                     labelpad=18)
+
+
 def plot_field(t, sector=None, ap_pixels=None, ap_color="red", save=False,
                fname=None):
-    """Star field + mean image plot (reference triceratops.py:358-557)."""
+    """Star field + mean image plot (reference triceratops.py:358-557),
+    including the WCS-oriented N/E compass (:433-459)."""
     if len(t.sectors) > 1:
         idx = int(np.argwhere(np.asarray(t.sectors) == sector)[0, 0])
     else:
@@ -38,27 +107,10 @@ def plot_field(t, sector=None, ap_pixels=None, ap_color="red", save=False,
     plt.subplots_adjust(right=0.9)
     if ap_pixels is not None:
         _draw_aperture(ax[0], ap_pixels, ap_color, 1)
-    for i in corners:
-        ax[0].plot(np.full_like(corners, t.col0s[idx] + i),
-                   t.row0s[idx] + corners, "k-", lw=0.5, zorder=0)
-        ax[0].plot(t.col0s[idx] + corners,
-                   np.full_like(corners, t.row0s[idx] + i), "k-", lw=0.5,
-                   zorder=0)
-    ax[0].plot(t.pix_coords[idx][0, 0]
-               + t.search_radius * np.cos(np.linspace(0, 2 * PI, 100)),
-               t.pix_coords[idx][0, 1]
-               + t.search_radius * np.sin(np.linspace(0, 2 * PI, 100)),
-               "k--", alpha=0.5, zorder=0)
-    tmags = t.stars["Tmag"].values
-    vmin, vmax = floor(np.nanmin(tmags)), ceil(np.nanmax(tmags))
-    sc = ax[0].scatter(t.pix_coords[idx][1:, 0], t.pix_coords[idx][1:, 1],
-                       c=tmags[1:], s=75, edgecolors="k", cmap=cm.viridis_r,
-                       vmin=vmin, vmax=vmax, zorder=2, rasterized=True)
-    ax[0].scatter([t.pix_coords[idx][0, 0]], [t.pix_coords[idx][0, 1]],
-                  c=[tmags[0]], s=250, marker="*", edgecolors="k",
-                  cmap=cm.viridis_r, vmin=vmin, vmax=vmax, zorder=2)
-    cb1 = fig.colorbar(sc, ax=ax[0], pad=0.02)
-    cb1.ax.set_ylabel("TESS mag", rotation=270, fontsize=12, labelpad=18)
+    _pixel_grid(ax[0], t.col0s[idx], t.row0s[idx], corners)
+    _search_circle(ax[0], t.pix_coords[idx][0], t.search_radius)
+    _compass(ax[0], t, idx)
+    _star_markers(fig, ax[0], t, idx)
     for a in ax:
         a.set_ylim([min(t.row0s[idx] + corners), max(t.row0s[idx] + corners)])
         a.set_xlim([min(t.col0s[idx] + corners), max(t.col0s[idx] + corners)])
@@ -68,14 +120,7 @@ def plot_field(t, sector=None, ap_pixels=None, ap_color="red", save=False,
         a.tick_params(axis="x", labelrotation=90)
         a.set_ylabel("pixel row number", fontsize=12)
         a.set_xlabel("pixel column number", fontsize=12)
-    im = ax[1].imshow(t.TESS_images[idx],
-                      extent=[min(t.col0s[idx] + corners),
-                              max(t.col0s[idx] + corners),
-                              max(t.row0s[idx] + corners),
-                              min(t.row0s[idx] + corners)])
-    cb2 = fig.colorbar(im, ax=ax[1], pad=0.02)
-    cb2.ax.set_ylabel("flux [e$^-$ s$^{-1}$]", rotation=270, fontsize=12,
-                      labelpad=18)
+    _mean_image(fig, ax[1], t, idx, corners)
     if ap_pixels is not None:
         _draw_aperture(ax[1], ap_pixels, ap_color, 2)
     plt.tight_layout()
