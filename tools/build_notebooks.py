@@ -215,11 +215,87 @@ A MOLUSC csv (`molusc_file=...`) replaces the analytic
 `sample_q_companion` prior with the survivor posterior of your imaging
 + RV constraints; companions are filtered to periastron > 10 AU and the
 q floor, exactly as the reference does
-(marginal_likelihoods.py:455-464). Pass it the same way:
+(marginal_likelihoods.py:455-464). Here we synthesize a small survivor
+posterior in the MOLUSC `*_kept.csv` schema — in practice you would run
+MOLUSC on your imaging/RV data and pass its output file. For a real
+end-to-end example see `tools/build_molusc_proxy.py`, which builds an
+imaging-only proxy posterior for TOI-1228 from its bundled speckle
+contrast curve."""),
+    ("code", """\
+rng = np.random.default_rng(21)
+n_surv = 400
+molusc = pd.DataFrame({
+    "mass ratio": rng.uniform(0.1, 1.0, n_surv),
+    "semi-major axis(AU)": 10 ** rng.uniform(1.2, 3.5, n_surv),
+    "eccentricity": rng.uniform(0.0, 0.6, n_surv),
+})
+molusc_file = "/tmp/tutorial_molusc_kept.csv"
+molusc.to_csv(molusc_file, index=False)
+t.calc_probs(time, flux, sigma, P_orb=P_orb, N=N, verbose=0, key=1,
+             molusc_file=molusc_file)
+print("FPP with MOLUSC posterior:", t.FPP, "(was %.4g)" % fpp_plain)"""),
+]
 
-```python
-t.calc_probs(..., molusc_file="my_target_molusc_kept.csv")
-```"""),
+
+KEPLER = [
+    ("md", """\
+# Kepler-10b — a real-data anchor
+
+This notebook reproduces the reference's `kepler_example.ipynb` on the
+TPU-native rebuild: the real folded short-cadence Kepler-10b light
+curve, the published stellar parameters, and the full FPP calculation.
+The published reference FPP is **8.4e-6** (kepler_example.ipynb cell
+12); this run lands within the Monte-Carlo/background spread of that
+value (measured 3.8e-6 at N=1e6 on TPU; see `docs/parity.md`).
+
+The light curve is read from the reference's bundled examples at
+`/root/reference/examples` (kept external to this package). The
+TRILEGAL background here is synthetic — with network access the real
+form submission is used instead — so background-scenario evidences
+differ in detail while the verdict (planet, FPP << 1e-3) reproduces."""),
+    ("code", SETUP),
+    ("code", """\
+lc = pd.read_csv("/root/reference/examples/Kepler10b_lightcurve.csv",
+                 header=None)
+time, flux, sigma = lc[0].values, lc[1].values, float(np.mean(lc[2].values))
+plt.errorbar(time, flux, sigma, fmt=".", ms=2, alpha=0.4)
+plt.xlabel("days from transit center"); plt.ylabel("relative flux")
+print(len(time), "points, sigma =", sigma)"""),
+    ("md", """\
+## The target star
+
+Kepler-10 published parameters (Batalha et al. 2011). `mission`
+switches the bandpass/aperture model to Kepler's."""),
+    ("code", """\
+stars = pd.DataFrame([
+    dict(ID="11904151", Tmag=10.96, Jmag=9.889, Hmag=9.563, Kmag=9.496,
+         ra=285.679, dec=50.241, mass=0.91, rad=1.065, Teff=5708.0,
+         plx=5.88, **{"sep (arcsec)": 0.0, "PA (E of N)": 0.0}),
+])
+trilegal = make_synthetic_trilegal("/tmp/kepler10_trilegal.csv",
+                                   Tmag_target=10.96, seed=4)
+t = tr.target.from_stars(stars, ID=11904151, sectors=[1],
+                         trilegal_fname=trilegal)
+t.mission = "Kepler"
+t.calc_depths(tdepth=1.52e-4)
+t.stars"""),
+    ("md", """\
+## FPP
+
+P_orb = 0.837 d; importance sampling makes N=100k here comparable in
+effective sample size to the reference's 1e6 rejection draws (on TPU
+use N=1e6 — the full 15-scenario set runs in ~1.6 s)."""),
+    ("code", """\
+t.calc_probs(time, flux, sigma, P_orb=0.837, N=N, nsamples=2,
+             verbose=0, key=jax.random.key(0))
+t.probs"""),
+    ("code", """\
+print("FPP  =", t.FPP, " (published reference value 8.4e-6)")
+print("NFPP =", t.NFPP)"""),
+    ("md", """\
+## Best-fit scenario models"""),
+    ("code", """\
+t.plot_fits(time, flux, sigma)"""),
 ]
 
 
@@ -239,3 +315,10 @@ if __name__ == "__main__":
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     build("tutorial.ipynb", TUTORIAL, execute)
     build("tutorial_followup.ipynb", VALIDATION, execute)
+    # the Kepler-10b notebook needs the reference's bundled light curve
+    kepler_ok = os.path.exists(
+        "/root/reference/examples/Kepler10b_lightcurve.csv")
+    build("kepler10b.ipynb", KEPLER, execute and kepler_ok)
+    if not kepler_ok:
+        print("NOTE: reference light curve absent; kepler10b.ipynb "
+              "written unexecuted")
