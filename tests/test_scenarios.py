@@ -188,6 +188,43 @@ class TestBehavior:
                               nsamples=NS, key=jax.random.key(21))
         assert r_tp["lnZ"] > r_eb["lnZ"]
 
+    def test_twin_evidence_stable_when_twin_dominates(self):
+        """Twin-branch estimator stability in the regime where it MATTERS:
+        data generated BY a q=0.97 twin EB (true period 2*P_det, folded at
+        the detected period so primary and secondary overlay, reference
+        ml.py:253-268 twin construction). There the twin likelihood is
+        broad — not a needle — and the conditioned + LHS-stratified twin
+        draw sets (engine module notes) must deliver key-to-key lnZ
+        agreement well inside the 2-nat sharding gate (measured sd 0.076
+        at 64k draws, docs/parity.md)."""
+        from triceratops_tpu import likelihoods as lk
+        from triceratops_tpu.constants import G, MSUN
+
+        P_det, q = 3.0, 0.97
+        P_true = 2 * P_det
+        a = ((G * (1.0 + q) * MSUN) / (4 * np.pi**2)
+             * (P_true * 86400.0) ** 2) ** (1 / 3)
+        time = np.linspace(-0.15, 0.15, 40)
+        flux_mod, _ = lk.simulate_EB_transit(time, 0.95, 0.45, P_true,
+                                             88.5, a, 1.0, 0.4, 0.2,
+                                             0.0, 0.0)
+        sigma = 2e-2
+        flux = flux_mod + np.random.default_rng(5).normal(0, sigma,
+                                                          len(time))
+        twin_lnZ, norm_lnZ = [], []
+        for k in range(4):
+            r, r_twin = api.lnZ_TEB(time, flux, sigma, P_det, **STAR,
+                                    N=32768, nsamples=NS,
+                                    key=jax.random.key(40 + k))
+            norm_lnZ.append(float(r["lnZ"]))
+            twin_lnZ.append(float(r_twin["lnZ"]))
+        twin_lnZ = np.array(twin_lnZ)
+        # the twin branch dominates the normal branch by a huge margin
+        assert twin_lnZ.min() > max(norm_lnZ) + 20.0, (twin_lnZ, norm_lnZ)
+        # and is stable across keys (the normal branch is a deep-losing
+        # needle here and legitimately noisy — not gated)
+        assert twin_lnZ.max() - twin_lnZ.min() < 2.0, twin_lnZ
+
     def test_contrast_curve_suppresses_companions(self, lc, tmp_path):
         """A deep contrast curve shrinks the bound-companion prior, so
         PTP evidence must drop relative to the unconstrained case."""

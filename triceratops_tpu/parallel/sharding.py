@@ -488,7 +488,8 @@ def _build_family_step(mesh, fam, cfg):
             d = eng.sample_seb(ks[5], P_orb, P_orb, M_s, R_s, Teff, plx, qs0,
                                b["u1_tab13"], b["u2_tab13"], seps, cons,
                                N=N_local, use_molusc=use_molusc,
-                               cc_filt=eff_cc_filt, twin_n=twin_local)
+                               cc_filt=eff_cc_filt,
+                               twin_n=max(N_local // eng.TWIN_DIV_SEB, 1))
             return eb_pair(d, d["u1s"], d["u2s"], d["lnprior"])
         if fam == "DTP":
             # DTP (:1130)

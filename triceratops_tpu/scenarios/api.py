@@ -237,10 +237,12 @@ def lnZ_TTP(time, flux, sigma, P_orb, M_s, R_s, Teff, Z,
                 fluxratio_comp=_zeros())
 
 
-def _twin_n(N, importance_sampling):
+def _twin_n(N, importance_sampling, div=None):
     """Twin-branch conditioned draw count: N // TWIN_DIV under importance
-    sampling, 0 (legacy shared draws) otherwise (engine module notes)."""
-    return max(N // eng.TWIN_DIV, 1) if importance_sampling else 0
+    sampling (TWIN_DIV_SEB for SEB via ``div``), 0 (legacy shared draws)
+    otherwise (engine module notes)."""
+    d = eng.TWIN_DIV if div is None else div
+    return max(N // d, 1) if importance_sampling else 0
 
 
 def _eb_lnZ_pair(d, t_ss, obs_dev, sigma, u1a, u2a, exptime, n_t, ns,
@@ -426,7 +428,8 @@ def lnZ_SEB(time, flux, sigma, P_orb, M_s, R_s, Teff, Z, plx,
                        jnp.asarray(seps), jnp.asarray(cons),
                        N=N, use_molusc=use_molusc, cc_filt=cc_filt,
                        stratified=importance_sampling,
-                       twin_n=_twin_n(N, importance_sampling))
+                       twin_n=_twin_n(N, importance_sampling,
+                                      eng.TWIN_DIV_SEB))
     t = d["twin"]
     lnL, lnL_twin = _eb_lnZ_pair(d, t_ss, obs_dev, F32(sigma), d["u1s"],
                                  d["u2s"], exptime, n_t, nsamples, chunk)

@@ -55,7 +55,11 @@ from ..ops.lightcurve import (
 
 F32 = jnp.float32
 N_SAMPLES = 100  # top-k best-fit draws kept (reference ml.py:152)
-TWIN_DIV = 4     # twin-branch conditioned draw count = N // TWIN_DIV
+TWIN_DIV = 4      # twin-branch conditioned draw count = N // TWIN_DIV
+TWIN_DIV_SEB = 2  # SEB only: its twin needle is bimodal (grazing OR
+                  # heavy companion dilution) and carries ~3x the lnZ
+                  # variance of the other twins at matched draws
+                  # (docs/parity.md), so it gets 2x the twin draws
 
 
 # ---------------------------------------------------------------------------
@@ -416,71 +420,89 @@ def sample_ntp_unknown(key, P_lo, P_hi, pop, *, N, flatpriors,
 #   * cos(inc) is drawn from a grazing-edge mixture over [0, min(Ptra,1)]:
 #     the twin model's undiluted depth is enormous, so the evidence is
 #     dominated by a thin grazing sliver at the top of the cos(inc)
-#     range; the mixture places _TWIN_EDGE_ALPHA of the draws in the top
-#     _TWIN_EDGE_DELTA fraction with exact density reweighting.
+#     range; the mixture places half the draws in the top _TWIN_EDGE
+#     fraction with exact density reweighting.
+#   * the (inc, q, w, ecc[, q_comp]) uniforms are Latin-hypercube
+#     stratified (_lattice_strat): per-axis sliver hit counts become
+#     deterministic while every lane's joint draw stays exactly uniform.
 #
-# Both are exact importance reweightings of the reference's estimator
-# (marginal_likelihoods.py twin branches, e.g. ml.py:253-268): the twin
-# lnZ uses N_total = twin_n with the weights absorbing P(q >= 0.95) and
-# the proposal densities. With ``twin_n = N // 4`` the twin core costs
-# ~4x less while its effective in-band sample size slightly exceeds the
-# shared-draw scheme's, and the grazing mixture cuts the max-domination
-# variance further (docs/parity.md twin-stratification table).
+# All three are exact importance reweightings of the reference's
+# estimator (marginal_likelihoods.py twin branches, e.g. ml.py:253-268):
+# the twin lnZ uses N_total = twin_n with the weights absorbing
+# P(q >= 0.95) and the proposal densities. With ``twin_n = N // 4``
+# (N // 2 for SEB, whose twin needle is bimodal — grazing OR heavy
+# companion dilution — and noisier) the twin core costs ~4x less while
+# its effective in-band sample size slightly exceeds the shared-draw
+# scheme's, and the grazing mixture cuts the max-domination variance
+# further (docs/parity.md twin-stratification table).
 #
 # With ``twin_n = 0`` (or stratified=False) the legacy shared-draw twin
 # branch is kept bit-for-bit and ``d["twin"]`` is an aliased view of it,
 # so all consumers read the twin branch uniformly through ``d["twin"]``.
 
-_TWIN_EDGE_ALPHA = 0.5   # mixture mass on the grazing edge
-_TWIN_EDGE_DELTA = 0.05  # edge width as a fraction of the cos(inc) range
+# Grazing-edge mixture components (mass, edge-width fraction of the
+# cos(inc) range). The widest component is the full range; the narrow
+# one concentrates draws where the twin model's enormous undiluted
+# eclipse grazes down to the observed shallow depth (a sliver near
+# b -> 1+k, i.e. the top of the cos(inc) range). A third level at the
+# top 0.5% was measured and REJECTED: it starved the mid-edge and
+# roughly tripled every twin's key-to-key lnZ sd (docs/parity.md).
+_TWIN_EDGE = ((0.5, 1.0), (0.5, 0.05), (0.0, 0.005))
 
 
-def _coprime_stride(n, frac):
-    """Smallest odd stride >= frac * n coprime with n (host, trace time)."""
-    import math
-    s = max(1, int(frac * n)) | 1
-    while math.gcd(s, n) != 1:
-        s += 2
-    return s
+def _lattice_strat(u, axes, n, key):
+    """Latin-hypercube stratification of selected uniform streams:
+    stream ``axes[j]`` becomes (pi_j(i) + u_i) / n with an INDEPENDENT
+    uniform random permutation pi_j per axis (keyed off ``key``) and
+    the original iid uniform as within-cell jitter.
 
+    Each lane's joint point is exactly uniform on [0,1)^d (pi_j(i) is
+    marginally uniform and independent across axes), so the evidence
+    estimator stays exactly unbiased with honest key-to-key variance,
+    while every 1/n-cell of every stratified axis is hit exactly once —
+    per-axis sliver hit counts are deterministic instead of Binomial,
+    which is the variance term that dominated the twin-branch and
+    bound-companion evidences (thin slivers of (cos inc, q, w, ecc,
+    q_comp) space).
 
-def _lattice_strat(u, axes, n):
-    """Jittered Korobov-lattice stratification of selected uniform
-    streams: stream ``axes[j]`` becomes ((i * s_j mod n) + u_i) / n with
-    coprime strides s_j, keeping each marginal exactly U[0,1] (the jitter
-    u_i is iid) while spreading the lanes evenly along every stratified
-    axis. Used only on the twin-conditioned draw sets, where the
-    evidence is dominated by thin slivers of the (cos inc, q, w, ecc)
-    space; stratification makes the per-axis sliver hit counts
-    deterministic instead of Binomial (measured: DEBx2P mesh-to-mesh
-    lnZ spread 4.9 -> 0.25 nats at 8k twin draws)."""
-    fracs = (0.0, 0.6180339887, 0.3819660113, 0.2360679775)
+    Two rejected alternatives, measured (docs/parity.md): a jittered
+    Korobov lattice WITHOUT a shared shift is biased (each lane
+    integrates only its own cell; the fixed measure-n^(1-d) union of
+    cells missed the SEB needle entirely — evidence 3.8 nats low with
+    zero key-to-key variance), and a Cranley-Patterson-shifted lattice
+    is unbiased but INCREASES variance on needle integrands (all lanes
+    hit or miss the needle together)."""
     out = list(u)
-    base = np.arange(n, dtype=np.int64)
     for j, ax in enumerate(axes):
-        if j == 0:
-            perm = base
-        else:
-            perm = base * _coprime_stride(n, fracs[j]) % n
-        out[ax] = (jnp.asarray(perm, out[ax].dtype) + out[ax]) / n
+        perm = jax.random.permutation(jax.random.fold_in(key, 7100 + ax), n)
+        out[ax] = (perm.astype(out[ax].dtype) + out[ax]) / n
     return out
 
 
 def _inc_twin_mixture(u_inc, Ptra):
-    """cos(inc) from the grazing-edge mixture over [0, w = min(Ptra, 1)].
+    """cos(inc) from the 3-level grazing-edge mixture over
+    [0, w = min(Ptra, 1)].
 
-    Proposal density q(c) = (1-a)/w + (a/(d w)) 1{c > w(1-d)} with
+    Proposal density q(c) = sum_k a_k/(d_k w) 1{c > w(1-d_k)} over the
+    _TWIN_EDGE components, sampled by the exact piecewise-linear
+    inverse CDF (monotone in u, preserving the LHS stratification) with
     ln-weight -ln q(c) (target density 1 on cos inc in [0,1], as in the
-    reference's rejection scheme); the input uniforms arrive
-    lattice-stratified (_lattice_strat)."""
-    a, dl = _TWIN_EDGE_ALPHA, _TWIN_EDGE_DELTA
+    reference's rejection scheme)."""
+    (a1, _), (a2, d1), (a3, d2) = _TWIN_EDGE
     w = jnp.minimum(Ptra, 1.0)
-    split = (1.0 - a) * (1.0 - dl)
-    lo = u_inc * w / (1.0 - a)
-    hi = w * ((1.0 - dl) + (u_inc - split) / ((1.0 - a) + a / dl))
-    edge = u_inc > split
-    cosi = jnp.where(edge, hi, lo)
-    dens = jnp.where(edge, ((1.0 - a) + a / dl), (1.0 - a)) / w
+    t1, t2 = 1.0 - d1, 1.0 - d2
+    dens1 = a1
+    dens2 = a1 + a2 / d1
+    dens3 = a1 + a2 / d1 + a3 / d2
+    m1 = dens1 * t1
+    m2 = m1 + dens2 * (t2 - t1)
+    t = jnp.where(
+        u_inc < m1, u_inc / dens1,
+        jnp.where(u_inc < m2, t1 + (u_inc - m1) / dens2,
+                  t2 + (u_inc - m2) / dens3))
+    dens = jnp.where(u_inc < m1, dens1,
+                     jnp.where(u_inc < m2, dens2, dens3)) / w
+    cosi = w * t
     incs_deg = jnp.arccos(jnp.clip(cosi, 0.0, 1.0)) * (180.0 / PI)
     tra_ok = Ptra <= 1.0
     return incs_deg, tra_ok, -jnp.log(dens)
@@ -620,7 +642,7 @@ def _teb_fields(key, P_lo, P_hi, M_s, R_s, Teff, n, twin):
     """Shared TEB field block; twin=True conditions q on the twin band."""
     u = _uniforms(key, 5, n)
     if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+        u = _lattice_strat(u, (1, 2, 4, 3), n, key)
     P = _draw_P(u[0], P_lo, P_hi)
     if twin:
         qs, lnqmass = _twin_q(u[2], M_s)
@@ -673,13 +695,16 @@ def sample_teb(key, P_lo, P_hi, M_s, R_s, Teff, *, N, stratified=True,
 
 
 def _peb_fields(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps,
-                cons, n, use_molusc, cc_filt, twin):
+                cons, n, use_molusc, cc_filt, twin, lattice=True):
     """Shared PEB field block. twin=True conditions q on the twin band
     and resamples the companion set (molusc rows by random gather so the
-    zero-padding proportion is preserved)."""
+    zero-padding proportion is preserved). lattice=True (any stratified
+    call, normal or twin) Latin-hypercube-stratifies the (inc, q, w,
+    ecc, q_comp) streams — the companion axis is the needle dimension that
+    dominated the PEB key-to-key lnZ spread."""
     u = _uniforms(key, 6, n)
-    if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+    if lattice:
+        u = _lattice_strat(u, (1, 2, 4, 3, 5), n, key)
     P = _draw_P(u[0], P_lo, P_hi)
     if twin:
         qs, lnqmass = _twin_q(u[2], M_s)
@@ -723,7 +748,7 @@ def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
     (u, P, qs, _, eccs, argps, masses, radii, fluxratios, qs_comp,
      fluxratios_comp, lnprior, kk, ksec, g_pri, g_sec) = _peb_fields(
         key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons, N,
-        use_molusc, cc_filt, twin=False)
+        use_molusc, cc_filt, twin=False, lattice=stratified)
     if stratified and twin_n:
         nb = _eb_normal_branch(P, M_s + masses, R_s, radii, eccs, argps,
                                u[1], stratified)
@@ -752,11 +777,14 @@ def sample_peb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, seps, cons,
 
 
 def _seb_fields(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, u1_tab,
-                u2_tab, seps, cons, n, use_molusc, cc_filt, twin):
-    """Shared SEB field block (companion chain + per-draw LDC)."""
+                u2_tab, seps, cons, n, use_molusc, cc_filt, twin,
+                lattice=True):
+    """Shared SEB field block (companion chain + per-draw LDC).
+    lattice: see _peb_fields — the companion-host stream (axis 5) sets
+    the whole dilution/LDC chain here, so it joins the lattice."""
     u = _uniforms(key, 6, n)
-    if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+    if lattice:
+        u = _lattice_strat(u, (1, 2, 4, 3, 5), n, key)
     P = _draw_P(u[0], P_lo, P_hi)
     if twin:
         qs, lnqmass = _twin_q(u[2], M_s)
@@ -820,7 +848,7 @@ def sample_seb(key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in,
      masses_comp, radii_comp, fluxratios_comp, u1s, u2s, lnprior,
      kk, ksec, g_pri, g_sec) = _seb_fields(
         key, P_lo, P_hi, M_s, R_s, Teff, plx, qs_comp_in, u1_tab, u2_tab,
-        seps, cons, N, use_molusc, cc_filt, twin=False)
+        seps, cons, N, use_molusc, cc_filt, twin=False, lattice=stratified)
     extra = dict(fluxratios_comp=fluxratios_comp, lnprior=lnprior,
                  masses_comp=masses_comp, radii_comp=radii_comp,
                  u1s=u1s, u2s=u2s)
@@ -860,7 +888,7 @@ def _bg_eb_fields(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons, n,
     """Shared DEB/BEB field block (own bg-row draws per call)."""
     u = _uniforms(key, 5, n)
     if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+        u = _lattice_strat(u, (1, 2, 4, 3), n, key)
     key_idx = jax.random.fold_in(key, 777)
     hi = N_comp if host_is_bg else jnp.maximum(N_comp - 1, 1)
     idxs = jax.random.randint(key_idx, (n,), 0, hi)
@@ -978,7 +1006,7 @@ def sample_background_eb(key, P_lo, P_hi, M_s, R_s, Teff, bg, seps, cons,
 def _neb_evolved_fields(key, P_lo, P_hi, M_s, R_s, Teff, n, twin):
     u = _uniforms(key, 5, n)
     if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+        u = _lattice_strat(u, (1, 2, 4, 3), n, key)
     P = _draw_P(u[0], P_lo, P_hi)
     if twin:
         qs, lnqmass = _twin_q(u[2], 1.0)
@@ -1057,7 +1085,7 @@ def sample_neb_evolved(key, P_lo, P_hi, M_s, R_s, Teff, *, N,
 def _neb_unknown_fields(key, P_lo, P_hi, pop, n, twin):
     u = _uniforms(key, 5, n)
     if twin:
-        u = _lattice_strat(u, (1, 2, 4, 3), n)
+        u = _lattice_strat(u, (1, 2, 4, 3), n, key)
     key_idx = jax.random.fold_in(key, 777)
     N_pos = pop["masses"].shape[0]
     idxs = jax.random.randint(key_idx, (n,), 0, N_pos)
