@@ -452,18 +452,20 @@ _TWIN_EDGE = ((0.5, 1.0), (0.5, 0.05), (0.0, 0.005))
 
 def _lattice_strat(u, axes, n, key):
     """Latin-hypercube stratification of selected uniform streams:
-    stream ``axes[j]`` becomes (pi_j(i) + u_i) / n with an INDEPENDENT
-    uniform random permutation pi_j per axis (keyed off ``key``) and
-    the original iid uniform as within-cell jitter.
+    stream ``axes[j]`` becomes (pi_j(i) + u_i) / n with a uniform
+    random permutation pi_j per axis (independent across axes, keyed
+    off ``key``; identity on the first axis, see cost note) and the
+    original iid uniform as within-cell jitter.
 
-    Each lane's joint point is exactly uniform on [0,1)^d (pi_j(i) is
-    marginally uniform and independent across axes), so the evidence
-    estimator stays exactly unbiased with honest key-to-key variance,
-    while every 1/n-cell of every stratified axis is hit exactly once —
-    per-axis sliver hit counts are deterministic instead of Binomial,
-    which is the variance term that dominated the twin-branch and
-    bound-companion evidences (thin slivers of (cos inc, q, w, ecc,
-    q_comp) space).
+    Conditionally on a lane's cell in the first axis, its remaining
+    coordinates are exactly joint-uniform (each pi_j(i) is marginally
+    uniform and independent across axes), so the estimator is the
+    classic stratified-sampling average — exactly unbiased with honest
+    key-to-key variance — while every 1/n-cell of every stratified
+    axis is hit exactly once: per-axis sliver hit counts are
+    deterministic instead of Binomial, which is the variance term that
+    dominated the twin-branch and bound-companion evidences (thin
+    slivers of (cos inc, q, w, ecc, q_comp) space).
 
     Two rejected alternatives, measured (docs/parity.md): a jittered
     Korobov lattice WITHOUT a shared shift is biased (each lane
@@ -471,11 +473,26 @@ def _lattice_strat(u, axes, n, key):
     cells missed the SEB needle entirely — evidence 3.8 nats low with
     zero key-to-key variance), and a Cranley-Patterson-shifted lattice
     is unbiased but INCREASES variance on needle integrands (all lanes
-    hit or miss the needle together)."""
+    hit or miss the needle together).
+
+    Cost control (the sorts showed up as ~0.12 s on the 15-scenario
+    bench): the FIRST stratified axis keeps the identity assignment —
+    classic stratified sampling needs no permutation on one axis; the
+    estimator stays exactly unbiased because the other axes' draws are
+    (conditionally on the lane) uniform — and the remaining axes'
+    permutations come from ONE batched argsort of iid uniforms instead
+    of per-axis sequential sorts."""
     out = list(u)
-    for j, ax in enumerate(axes):
-        perm = jax.random.permutation(jax.random.fold_in(key, 7100 + ax), n)
-        out[ax] = (perm.astype(out[ax].dtype) + out[ax]) / n
+    dt = out[axes[0]].dtype
+    base = jnp.arange(n, dtype=dt)
+    out[axes[0]] = (base + out[axes[0]]) / n
+    rest = axes[1:]
+    if rest:
+        r = jax.random.uniform(jax.random.fold_in(key, 7100),
+                               (len(rest), n))
+        perms = jnp.argsort(r, axis=1)
+        for j, ax in enumerate(rest):
+            out[ax] = (perms[j].astype(dt) + out[ax]) / n
     return out
 
 
