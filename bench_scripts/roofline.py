@@ -198,21 +198,27 @@ def main():
             "/root/reference/examples/TOI1228_folded_lightcurve.csv")
     except Exception:
         print("TOI-1228 curve unavailable; skipping long-LC measurement")
-    if lc is not None:
+    # two shapes: the 8,055-pt in-transit window and the full
+    # 20,100-pt unbinned curve (VERDICT r2 item 9 asked for the
+    # v2-vs-v3 check at n_t ~ 20k specifically); draw count scales
+    # down to keep per-run wall manageable
+    shapes = ((0.4, 262144, "8k-window"), (None, 65536, "20k-full"))
+    for crop, N2, tag in (shapes if lc is not None else ()):
         t20 = lc.x_fold.values
-        m = np.abs(t20) < 0.4
-        t20 = np.sort(t20[m]).astype(np.float64)
+        if crop is not None:
+            t20 = t20[np.abs(t20) < crop]
+        t20 = np.sort(t20).astype(np.float64)
         n_t2 = len(t20)
         obs2 = jnp.asarray(rng.normal(0, 5e-4, n_t2).astype(F32))
         t2_dev = jnp.asarray(t20, jnp.float32)
         chunk2 = draw_chunk(n_t2, ns)
-        N2 = 262144  # quarter-scale keeps per-run wall manageable
         d2 = {k: v[:N2] for k, v in d0.items()}
         P2 = jnp.full((N2,), F32(29.04992))
         aR2 = d2["a_R"] * F32(9.17)  # ~29 d period scale
         kw2 = dict(exptime=0.00139, n_t=n_t2, ns=ns, chunk=chunk2)
-        print(f"long-LC shape: n_t={n_t2}, chunk={chunk2}, N={N2}")
+        print(f"long-LC shape {tag}: n_t={n_t2}, chunk={chunk2}, N={N2}")
 
+        kdraws = N2 // 1024
         for backend, label in (("xla", "XLA"), ("pallas", "pallas v2")):
             def run(r, b=backend):
                 return jnp.sum(lnL_planet(
@@ -220,8 +226,8 @@ def main():
                     aR2, d2["inc_rad"], d2["eccs"], d2["w_rad"],
                     u1a[:N2], u2a[:N2], ones[:N2], d2["mask"], **kw2,
                     backend=b).astype(jnp.float32).clip(-1e30, 1e30))
-            timeit(f"long-LC planet core {label} (256k draws)", run,
-                   reps=3)
+            timeit(f"long-LC {tag} planet core {label} ({kdraws}k draws)",
+                   run, reps=3)
         # v3 needs the env var at import; measure via direct module flip
         from triceratops_tpu.ops import lightcurve as lcmod
         old = lcmod.PALLAS_V
@@ -239,8 +245,8 @@ def main():
                     u1a[:N2], u2a[:N2], ones[:N2], d2["mask"], **kw3,
                     backend="pallas", interpret=False
                     ).astype(jnp.float32).clip(-1e30, 1e30))
-            timeit("long-LC planet core pallas v3 (256k draws)", run3,
-                   reps=3)
+            timeit(f"long-LC {tag} planet core pallas v3 ({kdraws}k draws)",
+                   run3, reps=3)
         finally:
             lcmod.PALLAS_V = old
 

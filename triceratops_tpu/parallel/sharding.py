@@ -38,11 +38,23 @@ from ..ops.lightcurve import lnL_planet, lnL_eb
 from ..scenarios import engine as eng
 
 
-def make_mesh(n_devices: int | None = None, n_target_shards: int = 1):
-    """A ('targets', 'draws') mesh over the available devices."""
-    devs = np.array(jax.devices()[: n_devices or len(jax.devices())])
+def make_mesh(n_devices: int | None = None, n_target_shards: int = 1,
+              devices=None):
+    """A ('targets', 'draws') mesh over the available devices.
+
+    ``devices`` pins an explicit device list (e.g. ``jax.devices("cpu")``
+    when the default backend already initialized against another
+    platform); default is the default-platform devices.
+    """
+    pool = list(devices) if devices is not None else jax.devices()
+    devs = np.array(pool[: n_devices or len(pool)])
     nt = n_target_shards
     nd = len(devs) // nt
+    if nd < 1:
+        raise ValueError(
+            f"mesh needs >= {nt} devices for {nt} target shards but only "
+            f"{len(devs)} are available (default platform "
+            f"{jax.default_backend()!r}; pass devices= to pin a platform)")
     return Mesh(devs[: nt * nd].reshape(nt, nd), ("targets", "draws"))
 
 
