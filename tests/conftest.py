@@ -21,3 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# No persistent XLA compilation cache under tests: the package __init__
+# points jax_compilation_cache_dir at a dir shared with TPU bench
+# processes, and XLA's (de)serialization of the 8-device CPU-mesh
+# sharded executables is unreliable (observed SIGSEGV on a cache read
+# and SIGABRT inside put_executable_and_time on a cache write, each
+# killing the whole suite). CPU compiles are cheap; skip the cache.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -67,6 +67,54 @@ class TestProjectedZ:
         np.testing.assert_allclose(float(z[0]), float(z[1]), rtol=1e-6)
 
 
+class TestF32NearTransitPrecision:
+    """Regression: the quadrature form cwnu^2 + cos^2(i) swnu^2 must keep
+    the f32 in-transit z to ~1e-6 absolute. The old 1 - sin^2(i) sin^2(w+nu)
+    form cancels catastrophically near mid-transit (su -> 1) and was
+    measured at 4.7e-4 max z error on these draws."""
+
+    def _draws(self):
+        rng = np.random.default_rng(7)
+        n = 4000
+        P = rng.uniform(1.0, 20.0, n)
+        a_R = rng.uniform(3.0, 50.0, n)
+        # near-central geometries: b in [0, 1] so cos(i) is small and the
+        # old subtraction form operated deep in its cancellation regime
+        inc = np.arccos(rng.uniform(0.0, 1.0, n) / a_R)
+        e = rng.uniform(0.0, 0.9, n)
+        w = rng.uniform(-np.pi, np.pi, n)
+        # times within +/- 1.5 transit durations of mid-transit
+        dur = P / np.pi / a_R
+        t = rng.uniform(-1.5, 1.5, n) * dur
+        return t, P, a_R, inc, e, w
+
+    def test_projected_z_f32_matches_f64(self):
+        t, P, a_R, inc, e, w = self._draws()
+        z64, _ = projected_z(jnp.asarray(t), 0.0, jnp.asarray(P),
+                             jnp.asarray(a_R), jnp.asarray(inc),
+                             jnp.asarray(e), jnp.asarray(w))
+        f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+        z32, _ = projected_z(f32(t), np.float32(0.0), f32(P), f32(a_R),
+                             f32(inc), f32(e), f32(w))
+        err = np.abs(np.asarray(z32, np.float64) - np.asarray(z64))
+        in_transit = np.asarray(z64) < 2.0
+        assert err[in_transit].max() < 1e-4, err[in_transit].max()
+
+    def test_z2_taylor_f32_matches_f64(self):
+        t, P, a_R, inc, e, w = self._draws()
+        z2_64, _, _, _ = z2_taylor(jnp.asarray(t), 0.0, jnp.asarray(P),
+                                   jnp.asarray(a_R), jnp.asarray(inc),
+                                   jnp.asarray(e), jnp.asarray(w))
+        f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+        z2_32, _, _, _ = z2_taylor(f32(t), np.float32(0.0), f32(P), f32(a_R),
+                                   f32(inc), f32(e), f32(w))
+        z64 = np.sqrt(np.asarray(z2_64))
+        z32 = np.sqrt(np.maximum(np.asarray(z2_32, np.float64), 0.0))
+        err = np.abs(z32 - z64)
+        in_transit = z64 < 2.0
+        assert err[in_transit].max() < 1e-4, err[in_transit].max()
+
+
 class TestZ2Taylor:
     def test_derivatives_match_numerical(self):
         """Closed-form dz^2/dt and d2z^2/dt2 against high-order central

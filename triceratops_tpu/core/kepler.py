@@ -121,9 +121,16 @@ def z2_taylor(t, t0, P, a_R, inc, e, w):
     su = sw * cnu + cw * snu
     cu = cw * cnu - sw * snu
     S = jnp.sin(inc) ** 2
+    C = jnp.cos(inc) ** 2
     s2u = 2.0 * su * cu
     c2u = 1.0 - 2.0 * su * su
-    A = jnp.maximum(1.0 - S * su * su, 0.0)
+    # 1 - S su^2 rewritten as cu^2 + C su^2 (exact identity): near
+    # mid-transit su -> 1 and the subtraction cancels catastrophically
+    # in f32 (the algebraic su carries ~1e-7 absolute error with no
+    # flat-sine suppression), while the sum-of-squares form keeps z^2
+    # to ~1e-7 absolute — measured 4.7e-4 -> 1e-6 max in-transit z
+    # error on the fast-vs-exact gate draws
+    A = cu * cu + C * (su * su)
     z2 = r * r * A
     dz2 = 2.0 * r * rdot * A - r * r * S * s2u * nudot
     d2z2 = (2.0 * (rdot * rdot + r * rdd) * A
@@ -160,8 +167,13 @@ def projected_z(t, t0, P, a_R, inc, e, w):
     inv_beta = 1.0 / beta
     cnu = (cosE - e) * inv_beta
     snu = jnp.sqrt((1.0 - e) * (1.0 + e)) * sinE * inv_beta
-    swnu = jnp.sin(w) * cnu + jnp.cos(w) * snu
+    sw = jnp.sin(w)
+    cw = jnp.cos(w)
+    swnu = sw * cnu + cw * snu
+    cwnu = cw * cnu - sw * snu
+    # quadrature form of sqrt(1 - sin^2 i sin^2(w+nu)) — see z2_taylor:
+    # the sum of squares avoids the near-transit f32 cancellation
     z = a_R * beta * jnp.sqrt(
-        jnp.maximum(1.0 - jnp.sin(inc) ** 2 * swnu**2, 0.0)
+        cwnu * cwnu + jnp.cos(inc) ** 2 * (swnu * swnu)
     )
     return z, swnu > 0.0
