@@ -22,11 +22,35 @@ import os as _os
 import jax as _jax
 
 # persistent XLA compilation cache: the ~20 jitted scenario programs
-# compile once per (shape, config) and are reused across processes
+# compile once per (shape, config) and are reused across processes.
+# The directory is salted with a host-machine fingerprint: XLA:CPU cache
+# entries are AOT executables specialized to the compile machine's ISA
+# features, and loading one on a host with different features can SIGILL
+# (observed as a segfault inside backend_compile_and_load when a cache
+# populated on another machine was reused).
+
+
+def _machine_tag():
+    import hashlib
+    import platform
+
+    tag = platform.machine() or "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    tag += "-" + hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:  # pragma: no cover - non-Linux hosts
+        pass
+    return tag
+
+
 try:
     _cache_dir = _os.environ.get(
         "TRICERATOPS_TPU_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "triceratops_tpu_xla"))
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "triceratops_tpu_xla", _machine_tag()))
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
