@@ -46,11 +46,39 @@ def _machine_tag():
     return tag
 
 
+def _prune_stale_fingerprints(base, keep, max_age_days=30):
+    """Best-effort removal of sibling fingerprint dirs (other machines'
+    ISA tags, orphaned by microcode updates / VM migration) whose entries
+    are all older than max_age_days. Never touches the active tag."""
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_days * 86400.0
+    try:
+        entries = _os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        path = _os.path.join(base, name)
+        if name == keep or not _os.path.isdir(path):
+            continue
+        try:
+            mtimes = [_os.path.getmtime(_os.path.join(path, f))
+                      for f in _os.listdir(path)]
+            if max(mtimes, default=_os.path.getmtime(path)) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:  # pragma: no cover - races are fine, skip
+            continue
+
+
 try:
-    _cache_dir = _os.environ.get(
-        "TRICERATOPS_TPU_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache",
-                      "triceratops_tpu_xla", _machine_tag()))
+    _tag = _machine_tag()
+    _default_base = _os.path.join(_os.path.expanduser("~"), ".cache",
+                                  "triceratops_tpu_xla")
+    _cache_dir = _os.environ.get("TRICERATOPS_TPU_CACHE",
+                                 _os.path.join(_default_base, _tag))
+    if _cache_dir == _os.path.join(_default_base, _tag):
+        _prune_stale_fingerprints(_default_base, _tag)
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

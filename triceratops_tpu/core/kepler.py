@@ -49,7 +49,15 @@ def solve_kepler_sc(M, e):
     bounded by the previous iterate's error (<= ~1.2e-3 on the f32
     path's final step, far smaller on f64), so the expansion error is
     O(dE^3) ~ 3e-10 — below both paths' round-off — and the hot callers
-    save one full sin+cos pair per (draw, time) point."""
+    save one full sin+cos pair per (draw, time) point.
+
+    Consistency caveat (f32): sinE/cosE are consistent with the
+    *wrapped* anomaly. The returned E is unwrapped (+2pi*k to match M's
+    branch), so at large |M| it carries ~eps*|M| f32 representation
+    error and recomputing jnp.sin(E) from it can disagree with the
+    returned sinE by up to ~3e-6 — the returned pair is the *more*
+    accurate one (~7.5e-7 vs f64 truth). Callers must use the returned
+    (sinE, cosE), never re-derive them from E."""
     e = jnp.clip(e, 0.0, E_MAX)
     two_pi = 2.0 * jnp.pi
     k = jnp.round(M / two_pi)

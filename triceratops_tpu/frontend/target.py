@@ -118,6 +118,8 @@ class target:
         Jmag, Hmag, Kmag, ra, dec, mass, rad, Teff, plx. ``pix_coords``
         is a list (one per sector) of (n_stars, 2) pixel coordinates; a
         single centered grid is synthesized when omitted."""
+        if mission not in ("TESS", "Kepler", "K2"):
+            raise ValueError("Introduced invalid mission: " + mission)
         self = cls.__new__(cls)
         self.ID = ID
         self.mission = mission

@@ -50,13 +50,17 @@ import jax.numpy as jnp
 # Gauss-Legendre nodes for the A1 quadrature, precomputed on [0, pi/2] for
 # the substitution eta = eta0 + (pi - eta0) sin^2(t). The order is
 # dtype-dependent (static at trace time): 16 nodes match the scipy
-# reference to 6e-11 in f64; the f32 device path uses 10 nodes, whose
-# 8.3e-8 worst-case deficit error (measured over k in [0.01,1.9] x z,
-# incl. the twin band) sits below f32 round-off accumulation and well
-# under the 8e-7 Chebyshev-proxy budget, saving ~6/16 of the quadrature
-# transcendentals in the per-draw coefficient stage.
+# reference to 6e-11 in f64; the f32 device path uses 11 nodes, whose
+# 2.2e-8 worst-case deficit error (measured in f64 over k in [0.01,1.9]
+# x z at the LDC-grid-worst limb darkening (u1,u2)=(0.205,0.489) — the
+# quadrature error scales with |u1+2u2|/omega, maximized over both
+# bundled mission grids) sits below f32 round-off accumulation and well
+# under the 8e-7 Chebyshev-proxy budget, saving 5/16 of the quadrature
+# transcendentals in the per-draw coefficient stage. (10 nodes measured
+# 1.35e-7 worst-case at the same point — still within budget, but 11
+# buys a sub-1e-7 bound for ~1 extra node of VPU work.)
 _N_GL = 16          # float64 / reference-accuracy order
-_N_GL_F32 = 10      # float32 device-path order
+_N_GL_F32 = 11      # float32 device-path order
 
 
 def _gl_tables(n):

@@ -31,7 +31,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: public API, replication check renamed check_rep->check_vma
+    from jax import shard_map
+    _NO_REP_CHECK = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _NO_REP_CHECK = {"check_rep": False}
 
 from ..core.numerics import logsumexp_jax
 from ..ops.lightcurve import lnL_planet, lnL_eb
@@ -136,7 +141,7 @@ def batch_fpp_tp_eb(mesh: Mesh, keys, times, obs_dev, sigmas, P_orbs,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("targets"),) * 10,
              out_specs=(P("targets"), P("targets")),
-             check_rep=False)
+             **_NO_REP_CHECK)
     def step(keys, times, obs_dev, sigmas, P_orbs, M_ss, R_ss, Teffs,
              u1s, u2s):
         return jax.vmap(per_target)(keys, times, obs_dev, sigmas, P_orbs,
@@ -566,7 +571,7 @@ def _build_family_step(mesh, fam, cfg):
 
     @partial(shard_map, mesh=mesh, in_specs=(P("targets"),),
              out_specs=(P("targets"),) * n_out,
-             check_rep=False)
+             **_NO_REP_CHECK)
     def step(batch_shard):
         return jax.vmap(per_target)(batch_shard)
 
