@@ -74,6 +74,9 @@ def main():
     def red(d):
         tot = 0.0
         for v in d.values():
+            if isinstance(v, dict):  # nested twin-branch draw sets
+                tot = tot + red(v)
+                continue
             if v.dtype == jnp.bool_:
                 v = v.astype(jnp.float32)
             tot = tot + jnp.sum(v.astype(jnp.float32))

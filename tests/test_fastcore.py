@@ -78,6 +78,82 @@ class TestChebProxy:
         assert np.all(np.abs(D) < 1e-6)
 
 
+class TestTabulatedCoeffs:
+    """k-tabulated basis coefficients (coeffs-v2) vs exact-node
+    coefficients, over every k-segment of the table (incl. the k = 1
+    contact degeneracy and the breakpoints) with PHYSICAL (u1, u2)
+    pairs drawn jointly from the bundled LDC grids (independent
+    sampling can produce u1 + u2 > 1, i.e. negative limb intensity,
+    where the exact path's node-level clip makes the comparison
+    meaningless)."""
+
+    def _cases(self, n=1200, seed=3):
+        import os
+        rng = np.random.default_rng(seed)
+        k = np.concatenate([
+            10 ** rng.uniform(-3, 0.3, n // 2),
+            rng.uniform(0.9, 1.1, n // 4),
+            rng.uniform(0.99, 1.01, n // 8),
+            rng.uniform(1.1, 2.0, n // 8),
+            [1e-3, 2.0, 1.0, 6.0 / 7.0, 299.0 / 300.0, 301.0 / 300.0,
+             7.0 / 6.0, 0.999999],
+        ])
+        grids = np.load(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "triceratops_tpu", "data", "ldc_grids.npz"))
+        U1 = np.concatenate([grids["tess_u1"], grids["kepler_u1"]])
+        U2 = np.concatenate([grids["tess_u2"], grids["kepler_u2"]])
+        idx = rng.integers(0, U1.size, k.size)
+        return k, U1[idx], U2[idx]
+
+    def test_tab_matches_exact_f64(self):
+        from triceratops_tpu.ops.fastcore import cheb_deficit_coeffs_tab
+        k, u1, u2 = self._cases()
+        rng = np.random.default_rng(4)
+        ce = cheb_deficit_coeffs(jnp.asarray(k), jnp.asarray(u1),
+                                 jnp.asarray(u2))
+        ct = cheb_deficit_coeffs_tab(jnp.asarray(k), jnp.asarray(u1),
+                                     jnp.asarray(u2))
+        zg = rng.uniform(0, 1, (k.size, 96)) * (1 + k[:, None])
+        De = np.asarray(cheb_deficit_eval(ce, jnp.asarray(zg)))
+        Dt = np.asarray(cheb_deficit_eval(ct, jnp.asarray(zg)))
+        err = np.abs(De - Dt)
+        i = np.unravel_index(err.argmax(), err.shape)
+        assert err.max() < 2.5e-7, \
+            f"tabulated-coeff deficit error {err.max():.2e} at k={k[i[0]]}"
+
+    def test_tab_matches_exact_f32(self):
+        from triceratops_tpu.ops.fastcore import cheb_deficit_coeffs_tab
+        k, u1, u2 = self._cases()
+        rng = np.random.default_rng(5)
+        ce = cheb_deficit_coeffs(jnp.asarray(k), jnp.asarray(u1),
+                                 jnp.asarray(u2))       # f64 reference
+        ct = cheb_deficit_coeffs_tab(_f32(k), _f32(u1), _f32(u2))
+        zg = rng.uniform(0, 1, (k.size, 96)) * (1 + k[:, None])
+        De = np.asarray(cheb_deficit_eval(ce, jnp.asarray(zg)))
+        Dt = np.asarray(cheb_deficit_eval(ct, _f32(zg)))
+        err = np.abs(De - Dt)
+        i = np.unravel_index(err.argmax(), err.shape)
+        assert err.max() < 3e-6, \
+            f"f32 tabulated-coeff deficit error {err.max():.2e} at k={k[i[0]]}"
+
+    def test_dispatcher_routes_by_dtype(self):
+        from triceratops_tpu.ops import fastcore as fc
+        assert fc.COEFFS_BACKEND == "auto"
+        k, u1, u2 = _f32([0.1, 1.0]), _f32([0.3, 0.3]), _f32([0.2, 0.2])
+        ct = fc.deficit_coeffs(k, u1, u2)
+        cr = fc.cheb_deficit_coeffs_tab(k, u1, u2)
+        for a, b in zip(ct, cr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        k64 = jnp.asarray([0.1, 1.0])
+        ce = fc.deficit_coeffs(k64, jnp.asarray([0.3, 0.3]),
+                               jnp.asarray([0.2, 0.2]))
+        cx = fc.cheb_deficit_coeffs(k64, jnp.asarray([0.3, 0.3]),
+                                    jnp.asarray([0.2, 0.2]))
+        for a, b in zip(ce, cx):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestFastVsExactCores:
     def _inputs(self, N=3000, n_t=60, seed=1):
         rng = np.random.default_rng(seed)

@@ -68,6 +68,20 @@ class TestCalcDepths:
             assert abs(numeric - closed) < 1e-8
 
 
+class TestFromStarsNaNPA:
+    def test_nan_pa_target_row_is_on_center(self, trilegal):
+        """PA is undefined (NaN) for the target row of a real TIC cone
+        search (sep = 0); pixel coords must stay finite and on-center."""
+        df = _stars_df()
+        df.loc[0, "PA (E of N)"] = np.nan
+        t = target.from_stars(df, ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        assert np.all(np.isfinite(t.pix_coords[0]))
+        np.testing.assert_allclose(t.pix_coords[0][0], t.N_pix / 2.0)
+        t.calc_depths(tdepth=0.005)  # used to crash on NaN arange
+        assert np.isfinite(t.stars["fluxratio"].values).all()
+
+
 class TestStarEdits:
     def test_add_update_remove(self, trilegal):
         t = target.from_stars(_stars_df(), trilegal_fname=trilegal)

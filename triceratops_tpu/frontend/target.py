@@ -137,7 +137,10 @@ class target:
                 px = 20.25 if mission == "TESS" else 4.0
                 sep_pix = stars["sep (arcsec)"].values / px
                 pa = np.deg2rad(stars["PA (E of N)"].values)
-                pc = pc + np.c_[sep_pix * np.sin(pa), sep_pix * np.cos(pa)]
+                off = np.c_[sep_pix * np.sin(pa), sep_pix * np.cos(pa)]
+                # PA is undefined (NaN) for the target row itself
+                # (sep = 0); treat non-finite offsets as on-center.
+                pc = pc + np.where(np.isfinite(off), off, 0.0)
             pix_coords = [pc for _ in self.sectors]
         self.pix_coords = [np.asarray(p, dtype=float) for p in pix_coords]
         self.TESS_images = [np.zeros((self.N_pix, self.N_pix))

@@ -41,13 +41,22 @@ compute-light on the VPU (see ops/lightcurve.py for the cores):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.kepler import projected_z, z2_taylor
 from .occult import occult_quad_deficit
 
 M_CHEB = 18
+
+# coefficient-stage backend: 'auto' uses the k-tabulated basis matmul for
+# f32 (device) inputs and exact per-draw kernel nodes for f64 (reference)
+# inputs; 'exact'/'tab' force one. Read once at import (env mutation after
+# import would silently miss already-traced programs).
+COEFFS_BACKEND = os.environ.get("TRICERATOPS_COEFFS", "auto")
 
 # Chebyshev-Gauss nodes theta_j = (j + 1/2) pi / M; DCT-II matrix rows
 # give series coefficients c_m = (2/M) sum_j f(x_j) cos(m theta_j),
@@ -103,6 +112,114 @@ def cheb_deficit_coeffs(k, u1, u2):
     cB2 = jnp.dot(DB2, dct, preferred_element_type=DA.dtype)
     return (cA, cB1, cB2, zsplit[:, 0], zmid[:, 0], 1.0 / wA[:, 0],
             1.0 / wB1[:, 0], 1.0 / wB2[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# k-tabulated basis coefficients (coeffs-v2)
+#
+# The DCT above is linear and D = (c0*A0 + c1*A1 + c2*J)/(pi*omega) with
+# (c0,c1,c2,omega) functions of (u1,u2) only, so the per-segment Chebyshev
+# coefficients of the basis integrals A0, A1, J depend only on k. They are
+# pre-tabulated (tools/build_cheb_k_tables.py) as piecewise Chebyshev
+# series in a mapped k variable over 8 k-segments (kinks of the middle-
+# break clip at 6/7, 1 -/+ 1/300, 7/6; sqrt-resolved maps into the k = 1
+# contact degeneracy), k^2-normalized so small-k rows stay O(1). The
+# per-draw stage then collapses from 54 exact kernel node evaluations
+# (~600 quadrature cosines + contact atan2s per draw) to one Chebyshev-
+# in-kappa recurrence plus a (N, sum_degs) @ (sum_degs, 162) MXU matmul.
+# Measured worst-case deficit error vs exact-node coefficients: 7.7e-8
+# (f64, over k x z x the LDC-grid (u1,u2) extremes), an order below the
+# 8e-7 proxy truncation budget.
+# ---------------------------------------------------------------------------
+
+_TAB = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "data", "cheb_k_tables.npz"))
+_TAB_BREAKS = _TAB["breaks"]          # (9,)
+_TAB_KINDS = _TAB["kinds"]            # (8,) 0 affine, 1 log, 2/3 sqrt hi/lo
+_TAB_DEGS = _TAB["degs"]              # (8,)
+_TAB_C64 = _TAB["C"]                  # (sum_degs, 162)
+_TAB_MAXDEG = int(_TAB_DEGS.max())
+
+
+def _tab_kappa_onehot(kc):
+    """Mapped Chebyshev variable of the active k-segment + per-segment
+    one-hot masks. kc must already be clipped to the table range."""
+    kappa = jnp.zeros_like(kc)
+    actives = []
+    logk = jnp.log(kc)
+    for g in range(8):
+        lo, hi = _TAB_BREAKS[g], _TAB_BREAKS[g + 1]
+        kind = int(_TAB_KINDS[g])
+        if kind == 0:
+            t = (kc - lo) / (hi - lo)
+        elif kind == 1:
+            t = (logk - np.log(lo)) / (np.log(hi) - np.log(lo))
+        elif kind == 2:   # sqrt-resolved toward hi
+            t = 1.0 - jnp.sqrt(jnp.maximum(hi - kc, 0.0) / (hi - lo))
+        else:             # sqrt-resolved toward lo
+            t = jnp.sqrt(jnp.maximum(kc - lo, 0.0) / (hi - lo))
+        active = (kc >= lo) & ((kc <= hi) if g == 7 else (kc < hi))
+        kap = jnp.clip(2.0 * t - 1.0, -1.0, 1.0)
+        kappa = jnp.where(active, kap, kappa)
+        actives.append(active)
+    return kappa, actives
+
+
+def cheb_deficit_coeffs_tab(k, u1, u2):
+    """Drop-in replacement for :func:`cheb_deficit_coeffs` evaluating the
+    pre-tabulated basis-coefficient functions of k (one MXU matmul per
+    chunk instead of 54 exact kernel node evaluations per draw)."""
+    dtype = jnp.result_type(k.dtype, jnp.float32)
+    kc = jnp.clip(k, _TAB_BREAKS[0], _TAB_BREAKS[-1]).astype(dtype)
+    kappa, actives = _tab_kappa_onehot(kc)
+
+    # Chebyshev basis T_m(kappa), m < maxdeg, then the zero-padded
+    # segment-major design row (N, sum_degs)
+    T = [jnp.ones_like(kappa), kappa]
+    two_k = 2.0 * kappa
+    for _ in range(2, _TAB_MAXDEG):
+        T.append(two_k * T[-1] - T[-2])
+    T = jnp.stack(T, axis=1)                                  # (N, maxdeg)
+    cols = [T[:, : int(_TAB_DEGS[g])] * actives[g][:, None].astype(dtype)
+            for g in range(8)]
+    Tfull = jnp.concatenate(cols, axis=1)                     # (N, sum_degs)
+    C = jnp.asarray(_TAB_C64, dtype)
+    bas = jnp.dot(Tfull, C, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=dtype)               # (N, 162)
+    bas = bas.reshape(-1, 3, M_CHEB, 3)
+
+    om = 1.0 - u1 / 3.0 - u2 / 6.0
+    # the tabulated basis rows are [A0, A1, J] / (pi * k^2) (the probe
+    # inversion in tools/build_cheb_k_tables.py absorbs the 1/pi)
+    scale = jnp.minimum(k, _TAB_BREAKS[-1]).astype(dtype) ** 2 / om
+    w = jnp.stack([(1.0 - u1 - 2.0 * u2) * scale,
+                   (u1 + 2.0 * u2) * scale,
+                   u2 * scale], axis=-1)                      # (N, 3)
+    coeffs = jnp.einsum("nsmb,nb->nsm", bas, w)
+    cA, cB1, cB2 = coeffs[:, 0], coeffs[:, 1], coeffs[:, 2]
+
+    kcol = k[:, None]
+    zsplit = jnp.abs(1.0 - kcol)
+    zmax = 1.0 + kcol
+    c = jnp.clip(_BREAK_SLOPE * zsplit, _BREAK_FLOOR, (zmax - zsplit) / 2.0)
+    zmid = zsplit + c
+    wA = jnp.maximum(zsplit, 1e-6)
+    wB1 = jnp.maximum(c, 1e-6)
+    wB2 = jnp.maximum(zmax - zmid, 1e-6)
+    return (cA, cB1, cB2, zsplit[:, 0], zmid[:, 0], 1.0 / wA[:, 0],
+            1.0 / wB1[:, 0], 1.0 / wB2[:, 0])
+
+
+def deficit_coeffs(k, u1, u2):
+    """Backend dispatcher: tabulated for f32 device math, exact kernel
+    nodes for f64 reference math (or force via TRICERATOPS_COEFFS)."""
+    if COEFFS_BACKEND == "exact":
+        return cheb_deficit_coeffs(k, u1, u2)
+    if COEFFS_BACKEND == "tab":
+        return cheb_deficit_coeffs_tab(k, u1, u2)
+    if jnp.result_type(k, u1, u2) == jnp.float64:
+        return cheb_deficit_coeffs(k, u1, u2)
+    return cheb_deficit_coeffs_tab(k, u1, u2)
 
 
 def _clenshaw_select3(cA, cB1, cB2, in_B1, in_B2, x):

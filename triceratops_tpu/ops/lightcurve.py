@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..core.kepler import projected_z
 from .occult import occult_quad_deficit
 from .fastcore import (
-    cheb_deficit_coeffs, cheb_deficit_eval, exposure_z2_poly, z_supersampled,
+    deficit_coeffs, cheb_deficit_eval, exposure_z2_poly, z_supersampled,
 )
 
 # Fixed secondary-eclipse scan grid (reference likelihoods.py:135, :421)
@@ -142,7 +142,7 @@ def _gl_exposure_nodes(exptime: float, ns: int):
 def _mean_deficit_fast(time, exptime, k, P, a_R, inc, e, w, u1, u2,
                        n_t, ns):
     """Fast path: Chebyshev deficit proxy + per-exposure Kepler."""
-    coeffs = cheb_deficit_coeffs(k, u1, u2)
+    coeffs = deficit_coeffs(k, u1, u2)
     if ns > 1:
         h = exptime / 2.0
         q0, q1, q2, front = exposure_z2_poly(time, h, P, a_R, inc, e, w)
@@ -176,7 +176,7 @@ def _chi2_pallas(time, exptime, obs_dev, k, P, a_R, inc, e, w, u1, u2, g,
     else:
         from .pallas_core import chi2_supersampled
 
-    coeffs = cheb_deficit_coeffs(k, u1, u2)
+    coeffs = deficit_coeffs(k, u1, u2)
     cA, cB1, cB2, zsplit, zmid, invA, invB1, invB2 = coeffs
     if ns > 1:
         h = exptime / 2.0
