@@ -12,18 +12,23 @@ Conventions (matching the standard transit convention PyTransit uses):
   * The planet is "in front" (transits rather than is occulted) when
     sin(w + nu) > 0.
 
-The solver uses a fixed-iteration Newton scheme (branch-free, vmappable):
-starter E0 = M + e sin M + e^2 sin M cos M, augmented with the cube-root
-leading behavior E ~ (6M/e)^(1/3) where Newton otherwise stalls (high e
-near pericenter, 1 - e cos E -> 0). With that starter the float32 path
-converges to round-off in NEWTON_ITERS_F32 = 4 steps up to E_MAX = 0.995
-(measured on a 500k-point stress grid incl. e in [0.98, 0.995] near
-pericenter: max |dE| 1.15e-6 at 4 iters vs 1.09e-6 at 5 — both at the
-f32 representation floor; 3 iters degrades to 1.2e-3 and 2 Halley steps
-to 1.1e-4) and the float64 path to residual < 1e-10 in NEWTON_ITERS = 8
-(both validated in tests/test_kepler.py). Each Newton step costs ~13 ms
-per 1e6-draw scenario core on TPU, so the iteration counts are as small
-as the accuracy gates allow.
+Solver scheme (branch-free, vmappable), per dtype:
+
+* float32 (device hot path): Markley (1995, CeMDA 63, 101) Pade-type
+  cubic starter on the wrapped |M| in [0, pi] followed by ONE staged
+  Householder-4 correction. The starter needs only cbrt/sqrt (no
+  transcendentals) and is accurate to ~2e-2 worst-case over all
+  e <= E_MAX, so a single quartic correction lands at the f32
+  round-off floor: measured on a 500k-point stress grid (incl.
+  e in [0.9, 0.995] near pericenter) max |d sinE| 8.8e-7 vs the
+  Newton-4 predecessor's 8.3e-7 — identical to round-off — while
+  spending 1 sin/cos pair per point instead of 4. Each avoided
+  sin+cos pair is ~5-10 ms per 1e6-draw scenario core on TPU.
+* float64 (reference-accuracy path): fixed NEWTON_ITERS = 8 Newton
+  with the starter E0 = M + e sin M + e^2 sin M cos M augmented by the
+  cube-root pericenter behavior E ~ (6M/e)^(1/3); residual < 1e-10.
+
+Both validated in tests/test_kepler.py.
 """
 
 from __future__ import annotations
@@ -32,7 +37,6 @@ import jax
 import jax.numpy as jnp
 
 NEWTON_ITERS = 8       # float64 / reference-accuracy path
-NEWTON_ITERS_F32 = 4   # float32 device path
 E_MAX = 0.995  # eccentricity clamp; draws beyond this are unphysical here
 
 
@@ -66,23 +70,53 @@ def solve_kepler_sc(M, e):
     # ~eps(|M|) absolute, which near pericenter at high e amplifies
     # ~100x through dE/dM
     Mw = (M - k * 6.28125) - k * 0.001935307179586232
-    sinM = jnp.sin(Mw)
-    cosM = jnp.cos(Mw)
-    E = Mw + e * sinM + e * e * sinM * cosM
-    Ecb = jnp.cbrt(6.0 * Mw / jnp.maximum(e, 1e-6))
-    E = jnp.where((jnp.abs(Mw) < 0.25) & (e > 0.9), Ecb, E)
-    f64 = jnp.result_type(M, e) == jnp.float64
-    sinE = cosE = dE = None
-    for _ in range(NEWTON_ITERS if f64 else NEWTON_ITERS_F32):
-        sinE = jnp.sin(E)
-        cosE = jnp.cos(E)
-        f = E - e * sinE - Mw
-        fp = 1.0 - e * cosE
-        dE = -f / fp
-        E = E + dE
-    sinEf = sinE + dE * (cosE - 0.5 * dE * sinE)
-    cosEf = cosE - dE * (sinE + 0.5 * dE * cosE)
-    return E + two_pi * k, sinEf, cosEf
+    if jnp.result_type(M, e) == jnp.float64:
+        sinM = jnp.sin(Mw)
+        cosM = jnp.cos(Mw)
+        E = Mw + e * sinM + e * e * sinM * cosM
+        Ecb = jnp.cbrt(6.0 * Mw / jnp.maximum(e, 1e-6))
+        E = jnp.where((jnp.abs(Mw) < 0.25) & (e > 0.9), Ecb, E)
+        sinE = cosE = dE = None
+        for _ in range(NEWTON_ITERS):
+            sinE = jnp.sin(E)
+            cosE = jnp.cos(E)
+            f = E - e * sinE - Mw
+            fp = 1.0 - e * cosE
+            dE = -f / fp
+            E = E + dE
+        sinEf = sinE + dE * (cosE - 0.5 * dE * sinE)
+        cosEf = cosE - dE * (sinE + 0.5 * dE * cosE)
+        return E + two_pi * k, sinEf, cosEf
+    # float32 device path: Markley (1995) cubic starter on |Mw| (E is odd
+    # in M) + one staged Householder-4 correction. Starter worst-case
+    # error ~2e-2, so the quartic step reaches the f32 round-off floor
+    # with a single sin/cos pair (module docstring; tests/test_kepler.py)
+    s = jnp.sign(Mw)
+    Ma = jnp.abs(Mw)
+    pi = jnp.pi
+    alpha = (3.0 * pi * pi + 1.6 * pi * (pi - Ma) / (1.0 + e)) \
+        / (pi * pi - 6.0)
+    d = 3.0 * (1.0 - e) + alpha * e
+    q = 2.0 * alpha * d * (1.0 - e) - Ma * Ma
+    r = 3.0 * alpha * d * (d - 1.0 + e) * Ma + Ma * Ma * Ma
+    w_ = jnp.cbrt(jnp.abs(r) + jnp.sqrt(jnp.maximum(
+        q * q * q + r * r, 0.0))) ** 2
+    E = (2.0 * r * w_ / (w_ * w_ + w_ * q + q * q) + Ma) / d
+    sinE = jnp.sin(E)
+    cosE = jnp.cos(E)
+    f = E - e * sinE - Ma
+    fp = 1.0 - e * cosE
+    fpp = e * sinE
+    fppp = e * cosE
+    d1 = -f / fp
+    d2 = -f / (fp + 0.5 * d1 * fpp)
+    dE = -f / (fp + 0.5 * d2 * fpp + d2 * d2 * fppp * (1.0 / 6.0))
+    E = E + dE
+    # 3rd-order Taylor rotation of (sinE, cosE) by the final step dE
+    # (|dE| <= starter error ~2e-2 -> expansion error O(dE^4) ~ 7e-9)
+    sinEf = sinE + dE * (cosE - 0.5 * dE * (sinE + dE * cosE * (1.0 / 3.0)))
+    cosEf = cosE - dE * (sinE + 0.5 * dE * (cosE - dE * sinE * (1.0 / 3.0)))
+    return s * E + two_pi * k, s * sinEf, cosEf
 
 
 def solve_kepler(M, e):
