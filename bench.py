@@ -8,8 +8,12 @@ vectorized CPU path takes ~60.5 s per run (examples/example.ipynb cell
 size) keep the benchmark network-free; the compute is identical to a real
 target run.
 
-Prints ONE json line: wall time of a full calc_probs after compilation,
-with vs_baseline = 60.5 / wall.
+Prints ONE json line: median wall time of >= 3 warm calc_probs runs
+(distinct RNG keys so the async runtime cannot dedupe them), with
+vs_baseline = 60.5 / median. `value` stays the median for driver
+compatibility; min / max / spread ride along so round-over-round deltas
+can be judged against the ~+/-0.4 s tunnel noise (VERDICT r4 weak #3;
+the reference's own protocol is a 20-run loop, example.ipynb cell 14).
 """
 
 import json
@@ -69,13 +73,19 @@ def main():
         return t.FPP, t.NFPP
 
     run(0)  # compile + warm caches
-    t0 = _time.time()
-    fpp, nfpp = run(1)
-    wall = _time.time() - t0
+    walls = []
+    for i in range(1, 4):  # distinct keys: no dedupe of repeat dispatches
+        t0 = _time.time()
+        fpp, nfpp = run(i)
+        walls.append(_time.time() - t0)
+    med = float(np.median(walls))
     print(json.dumps({
         "metric": "full_fpp_wall_time_15_scenarios_1e6_draws",
-        "value": round(wall, 3), "unit": "s",
-        "vs_baseline": round(BASELINE_S / wall, 2),
+        "value": round(med, 3), "unit": "s",
+        "vs_baseline": round(BASELINE_S / med, 2),
+        "runs": [round(w, 3) for w in walls],
+        "min": round(min(walls), 3), "max": round(max(walls), 3),
+        "spread": round(max(walls) - min(walls), 3),
     }))
 
 

@@ -18,6 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -28,3 +29,21 @@ jax.config.update("jax_enable_x64", True)
 # and SIGABRT inside put_executable_and_time on a cache write, each
 # killing the whole suite). CPU compiles are cheap; skip the cache.
 jax.config.update("jax_enable_compilation_cache", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables at module boundaries.
+
+    Under jax/jaxlib 0.9.0 the full suite segfaulted deterministically
+    at test #182 (tests/test_sharding.py::test_matches_single_device_api,
+    inside a lnZ_PTP pjit) after ~181 tests' compiled executables had
+    accumulated in the 8-device CPU client — while every module passes
+    standalone. This is a sibling of the cache-(de)serialization crash
+    class documented above. Capping live-executable accumulation at one
+    module's worth reproduces the standalone-green conditions; CPU
+    recompiles across module boundaries are cheap relative to the
+    scenario tests that dominate suite wall time.
+    """
+    yield
+    jax.clear_caches()
