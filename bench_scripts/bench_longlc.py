@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from validate_golden import REF, toi1228_field, make_trilegal  # noqa: E402
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "longlc_r3.json")
+                       "results", "longlc_r5.json")
 
 
 def load_curve(crop: bool):

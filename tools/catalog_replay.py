@@ -4,7 +4,7 @@ The practical form of BASELINE.json configs[4] ("batch vetting sweep:
 384-TOI catalog replay at 1M draws/scenario"): every target reuses the
 same compiled scenario programs (shapes are fixed by the shared light-
 curve binning and draw count), so per-target cost after the first is the
-steady-state FPP wall time (~3.4 s at the benchmark shape on one v5e).
+steady-state FPP wall time (~1.3 s at the benchmark shape on one v5e).
 Results are written as a csv alongside the published-catalog columns for
 comparison (populations/catalogs.py).
 
@@ -12,17 +12,16 @@ Two execution modes:
 
 * serial (``--serial``; the default on a single device) — the frontend
   path: one ``target.calc_probs`` per TOI. Measured steady state on one
-  v5e: 2.4 s/target at 1e6 draws x 15 scenarios (385-TOI catalog
-  ~ 16 min/chip vs the reference's ~6.5 h CPU).
+  v5e (round 5): 1.3 s/target at 1e6 draws x 15 scenarios (385-TOI
+  catalog ~ 9 min/chip vs the reference's ~6.5 h CPU).
 * sharded (``--sharded``; the default with >1 device) — targets stream
   in fixed-size batches through ``parallel.sharding.batch_fpp_full`` on
   a ('targets', 'draws') ``jax.sharding.Mesh``, covering the full
   15-scenario taxonomy; per-target reductions are chip-local and the
   only collective is the per-scenario evidence logsumexp (SURVEY.md
   section 2.4 per-target axis, VERDICT round-1 item 2). On ONE chip the
-  fused megaprogram runs at 4.4 s/target (the serial path's
-  async-overlapped per-scenario dispatches beat one big serialized
-  program), so the mesh path pays off only when the targets axis
+  per-family sharded programs now match the serial path (1.32 vs 1.3
+  s/target, round 5); the mesh path pays off when the targets axis
   actually spans chips.
 
 With only synthetic data available offline, the sweep runs on
