@@ -132,6 +132,31 @@ class TestCalcProbs:
             result.star_num[:15],
             [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 2, 2, 2])
 
+    def test_lc_window(self, trilegal):
+        """lc_window crops |time| > window; a window wider than the
+        curve is a no-op (bitwise-identical run at the same key)."""
+        t = target.from_stars(_stars_df(n_nearby=0), ID=1000, sectors=[1],
+                              trilegal_fname=trilegal)
+        t.calc_depths(tdepth=0.005)
+        time, flux, sigma, _ = make_transit_lightcurve(n_t=60, sigma=5e-4)
+        t.calc_probs(time, flux, sigma, P_orb=3.0, N=2000, nsamples=2,
+                     verbose=0, key=jax.random.key(2))
+        fpp_full = t.FPP
+        lnZ_full = t.lnZ.copy()
+        # window covering every point: identical analysis
+        t.calc_probs(time, flux, sigma, P_orb=3.0, N=2000, nsamples=2,
+                     verbose=0, key=jax.random.key(2),
+                     lc_window=float(np.abs(time).max()) + 1.0)
+        assert t.FPP == fpp_full
+        np.testing.assert_array_equal(t.lnZ, lnZ_full)
+        # real crop: fewer points, still a finite normalized result
+        w = 0.6 * float(np.abs(time).max())
+        t.calc_probs(time, flux, sigma, P_orb=3.0, N=2000, nsamples=2,
+                     verbose=0, key=jax.random.key(2), lc_window=w)
+        assert np.isfinite(t.FPP)
+        assert np.isclose(t.probs["prob"].sum(), 1.0, atol=1e-6)
+        assert not np.array_equal(t.lnZ, lnZ_full)
+
     def test_drop_scenario(self, trilegal):
         t = target.from_stars(_stars_df(n_nearby=0), ID=1000, sectors=[1],
                               trilegal_fname=trilegal)

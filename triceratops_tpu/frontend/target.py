@@ -334,16 +334,30 @@ class target:
                    verbose: int = 1, flatpriors: bool = False,
                    exptime: float = 0.00139, nsamples: int = 20,
                    molusc_file: str = None, key=None,
-                   importance_sampling: bool = True):
+                   importance_sampling: bool = True,
+                   lc_window: float = None):
         """Compute scenario probabilities, FPP and NFPP
         (reference triceratops.py:673-1485). ``parallel`` is accepted for
-        signature parity; the engine is always vectorized."""
+        signature parity; the engine is always vectorized.
+
+        ``lc_window`` (days, no reference counterpart): if set, crop the
+        folded light curve to |time| <= lc_window before analysis. Core
+        cost is linear in the number of points, so windowing a long
+        unbinned curve to its in-transit region buys ~2x wall time
+        (TOI-1228 20,099 -> 8,055 pts: 124.5 -> 60.4 s full FPP at
+        N=1e6) while the FPP shift (~0.001) is far inside the key-to-key
+        Monte-Carlo scatter (sd ~0.015 at this target; measured in
+        bench_scripts/results/longlc_window_keys_r5.json). Keep enough
+        out-of-transit baseline for the noise to be identifiable (the
+        reference's own example curves keep ~2-3 transit durations)."""
         if "tdepth" not in self.stars.columns:
             raise RuntimeError(
                 "calc_depths(tdepth, ...) must be called before "
                 "calc_probs so each star's flux ratio and required "
                 "transit depth are known.")
         mask = ~np.isnan(time) & ~np.isnan(flux_0)
+        if lc_window is not None:
+            mask &= np.abs(np.asarray(time)) <= float(lc_window)
         time = np.asarray(time)[mask]
         flux_0 = np.asarray(flux_0)[mask]
 
